@@ -1,0 +1,143 @@
+"""Text normalization / tokenization Column expressions (SURVEY §2.7 F1-F4).
+
+Reference semantics being reproduced (citations into /root/reference):
+- char cleanup: tab→space and literal 'nan' stripping,
+  splitters/KNN-Join/splitter.py:30-33,46-50  → :func:`clean_text`
+- tokenize (nltk word_tokenize analog), splitters/KNN-Join/splitter.py:17
+  → :func:`tokens` — we pin a deterministic regex tokenizer (lower +
+  split on non-alphanumeric) so the Spark plan, the pandas oracle, and
+  the DuckDB oracle SQL byte-match.
+- stopword removal + stemming, splitters/KNN-Join/splitter.py:16-19,40-43
+  → :func:`remove_stopwords`, :func:`stem_tokens` (suffix-stripper; nltk
+  is not in the image so the stemmer is our own pinned spec).
+- q-gram generation (q∈2..5, set or multiset),
+  splitters/KNN-Join/splitter.py:72-78, settings.py:2-11 → :func:`qgrams`.
+
+Everything here is a native Column expression (whole-stage codegen);
+the only Python is the stemmer's pandas UDF, Arrow-batched.
+
+The module also exports the DuckDB-SQL equivalents used by
+``__spark_entry__.oracle_sql`` so tokenization parity is kept in ONE place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- the pinned tokenization spec ------------------------------------------
+# lower() then split on runs of non-alphanumeric, drop empties.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# DuckDB expression templates ({col} is substituted). Keeping them beside the
+# Spark expressions is what guarantees oracle parity.
+DUCKDB_TOKENS = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+)
+DUCKDB_NORM = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+
+# Small pinned English stopword list (public, the usual top function words).
+STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
+    "has", "he", "in", "is", "it", "its", "of", "on", "or", "that", "the",
+    "to", "was", "were", "will", "with", "this", "i", "you", "not", "they",
+]
+
+
+def clean_text(col: Column | str) -> Column:
+    """Tab→space, strip literal 'nan', collapse whitespace, trim.
+
+    Parity: splitters/KNN-Join/splitter.py:30-33 (tab replace) and :46-50
+    ('nan' strip after str-cast of NaN cells).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
+    c = F.regexp_replace(c, "\t", " ")
+    c = F.regexp_replace(c, r"\bnan\b", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def normalize(col: Column | str) -> Column:
+    """lower + non-alphanumeric→space + collapse + trim. The canonical
+    string every similarity/tokenization derives from (mirrors
+    DUCKDB_NORM exactly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(F.coalesce(c, F.lit("")))
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column | str) -> Column:
+    """Array of word tokens per the pinned spec (mirrors DUCKDB_TOKENS)."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.split(F.lower(F.coalesce(c, F.lit(""))), TOKEN_SPLIT_RE)
+    return F.filter(arr, lambda t: t != F.lit(""))
+
+
+def distinct_tokens(col: Column | str) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def remove_stopwords(tokens_col: Column, stopwords: list[str] | None = None) -> Column:
+    """Drop stopwords from a token array (parity: splitter.py:16-19,40-43).
+
+    Uses array_except against a literal array — stays JVM-side; at scale the
+    literal is embedded in the plan (tiny), no broadcast needed.
+    """
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    return F.array_except(tokens_col, sw)
+
+
+def stem_tokens(tokens_col: Column) -> Column:
+    """Pinned light suffix-stripper over a token array, JVM-side.
+
+    The reference uses nltk Snowball (splitters/KNN-Join/splitter.py:16-19);
+    nltk is not in this image so the *spec* here is our own, shared verbatim
+    with the pandas oracle (oracle/pandas_oracle.py:stem). Rules applied
+    longest-first, once: sses→ss, ies→i, ing→'', ed→'', s→'' (len guards).
+    """
+    def rules(t: Column) -> Column:
+        n = F.length(t)
+        return (
+            F.when((n > 4) & t.endswith("sses"), t.substr(F.lit(1), n - 2))
+            .when((n > 4) & t.endswith("ies"), t.substr(F.lit(1), n - 2))
+            .when((n > 5) & t.endswith("ing"), t.substr(F.lit(1), n - 3))
+            .when((n > 4) & t.endswith("ed"), t.substr(F.lit(1), n - 2))
+            .when((n > 3) & t.endswith("s") & ~t.endswith("ss"), t.substr(F.lit(1), n - 1))
+            .otherwise(t)
+        )
+
+    return F.transform(tokens_col, rules)
+
+
+def qgrams(col: Column | str, q: int = 3, multiset: bool = False) -> Column:
+    """Character q-grams of the normalized string (F4).
+
+    Parity: pyJedAI tokenization='qgrams'[,'_multiset'] with q∈{2..5}
+    (splitters/KNN-Join/splitter.py:72-78, settings.py:2-11). Set semantics
+    unless ``multiset``. Pure Column expr — sequence + substr transform —
+    so it codegens; no UDF.
+    """
+    s = normalize(col)
+    n = F.length(s)
+    grams = F.when(n < q, F.when(n > 0, F.array(s)).otherwise(F.array().cast("array<string>"))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(q - 1)),
+            lambda i: s.substr(i, F.lit(q)),
+        )
+    )
+    return grams if multiset else F.array_distinct(grams)
+
+
+def duckdb_qgrams_sql(col: str, q: int = 3, multiset: bool = False) -> str:
+    """DuckDB expression mirroring :func:`qgrams` (for oracle_sql)."""
+    norm = DUCKDB_NORM.format(col=col)
+    grams = (
+        f"CASE WHEN length({norm}) < {q} THEN "
+        f"  CASE WHEN length({norm}) > 0 THEN [{norm}] ELSE []::VARCHAR[] END "
+        f"ELSE list_transform(range(1, length({norm}) - {q - 2}), i -> substr({norm}, i, {q})) END"
+    )
+    if not multiset:
+        grams = f"list_distinct({grams})"
+    return grams

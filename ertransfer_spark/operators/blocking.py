@@ -1,0 +1,278 @@
+"""Blocking (candidate generation) — SURVEY §2.3 J1-J3, §2.5 W4.
+
+The reference delegates to pyJedAI's TopKJoin (inverted token index +
+per-record top-K by cosine/dice/jaccard over agValue tokens or q-grams,
+splitters/KNN-Join/splitter.py:72-82, settings grid settings.py:1-12) and
+DeepBlocker's exact top-K vector pairing (splitters/DeepBlocker/
+splitter.py:62-73). Spark-first re-expression:
+
+  tokenize → explode → salted hash equi-join on token → groupBy pair
+  (map-side partial agg) → similarity from (overlap, |A|, |B|) counts
+  → per-left-id window top-K
+
+Skew controls (north rule, explicit):
+- **document-frequency pruning**: a token appearing in dfA×dfB records
+  generates dfA·dfB candidate pairs; tokens with df above ``max_token_df``
+  are dropped (they carry ~no similarity signal and all the blow-up).
+- **per-block comparison budgets**: posting lists are capped at
+  ``posting_budget`` entries per token per side (deterministic order),
+  bounding any block to budget² comparisons.
+- **AQE skew-join** splits residual hot partitions at runtime (enabled in
+  session.py).
+- ``block_histogram`` exposes the token-frequency distribution used to size
+  ``spark.sql.shuffle.partitions`` and emitted as lineage rows.
+
+The shuffle structure is: one exchange on token (the join), one exchange on
+(a_id,b_id) (the pair agg, partially aggregated map-side), one exchange on
+a_id (the top-K window). No array survives past the explode — only counts —
+so shuffle width is O(pairs), not O(pairs × tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ertransfer_spark.functions.similarity import overlap_to_sim
+
+
+def _postings(
+    records: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    side: str,
+    multiset: bool,
+    posting_budget: int | None,
+) -> DataFrame:
+    """(token, {side}_id, {side}_size[, {side}_cnt]) posting lists."""
+    if multiset:
+        # token multiset: explode raw tokens, count per (id, token)
+        toks = records.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.size(F.col(tokens_col)).alias(f"{side}_size"),
+            F.explode(tokens_col).alias("token"),
+        )
+        posts = toks.groupBy("token", f"{side}_id", f"{side}_size").agg(
+            F.count(F.lit(1)).alias(f"{side}_cnt")
+        )
+    else:
+        posts = records.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.size(F.array_distinct(F.col(tokens_col))).alias(f"{side}_size"),
+            F.explode(F.array_distinct(F.col(tokens_col))).alias("token"),
+        )
+    if posting_budget:
+        w = Window.partitionBy("token").orderBy(F.col(f"{side}_id"))
+        posts = posts.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= posting_budget
+        ).drop("_rn")
+    return posts
+
+
+def top_k_token_join(
+    records_a: DataFrame,
+    records_b: DataFrame,
+    k: int = 10,
+    metric: str = "jaccard",
+    id_col: str = "conv_id",
+    tokens_col: str = "token_set",
+    multiset: bool = False,
+    max_token_df: int | None = None,
+    posting_budget: int | None = None,
+    min_sim: float = 0.0,
+) -> DataFrame:
+    """Top-K similarity join → (a_id, b_id, overlap, a_size, b_size, sim).
+
+    Keeps the K most-similar B records per A record under the chosen
+    set metric (jaccard/dice/cosine/overlap), deterministic tie-break
+    (sim DESC, b_id ASC). Set semantics by default; ``multiset=True``
+    count-weights overlaps (pyJedAI ``_multiset`` parity).
+    """
+    pa = _postings(records_a, id_col, tokens_col, "a", multiset, posting_budget)
+    pb = _postings(records_b, id_col, tokens_col, "b", multiset, posting_budget)
+
+    if max_token_df:
+        df_a = pa.groupBy("token").agg(F.count(F.lit(1)).alias("df_a"))
+        df_b = pb.groupBy("token").agg(F.count(F.lit(1)).alias("df_b"))
+        keep = df_a.join(df_b, "token").filter(
+            (F.col("df_a") <= max_token_df) & (F.col("df_b") <= max_token_df)
+        ).select("token")
+        pa = pa.join(F.broadcast(keep), "token")
+        pb = pb.join(F.broadcast(keep), "token")
+
+    joined = pa.join(pb, "token")
+    if multiset:
+        overlap = F.sum(F.least(F.col("a_cnt"), F.col("b_cnt")))
+    else:
+        overlap = F.count(F.lit(1))
+    pairs = joined.groupBy("a_id", "b_id").agg(
+        overlap.alias("overlap"),
+        F.first("a_size").alias("a_size"),
+        F.first("b_size").alias("b_size"),
+    )
+    sim = overlap_to_sim(metric, F.col("overlap"), F.col("a_size"), F.col("b_size"))
+    scored = pairs.withColumn("sim", sim)
+    if min_sim > 0.0:
+        scored = scored.filter(F.col("sim") >= min_sim)
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def block_histogram(records: DataFrame, tokens_col: str = "token_set") -> DataFrame:
+    """Token document-frequency histogram: (df_bucket, n_tokens, comparisons).
+
+    ``comparisons`` ~ df² — the per-block cost driver. Used to choose
+    shuffle-partition counts and max_token_df, and appended to lineage
+    (reference analog: the blocking stats in split_statistics.txt,
+    splitters/KNN-Join/splitter.py:198-207)."""
+    df = records.select(F.explode(tokens_col).alias("token")).groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    bucket = F.pow(F.lit(2.0), F.ceil(F.log2(F.col("df")))).cast("long")
+    return (
+        df.withColumn("df_bucket", F.when(F.col("df") <= 1, F.lit(1)).otherwise(bucket))
+        .groupBy("df_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("df") * F.col("df")).alias("comparisons"),
+        )
+        .orderBy("df_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH blocking (scale path; J2 analog of DeepBlocker's vector top-K)
+# --------------------------------------------------------------------------
+
+def minhash_signature(tokens_col, n_hashes: int = 64):
+    """Native minhash signature: sig[j] = min over tokens of hash(token, j).
+
+    Uses Spark's murmur3 ``F.hash`` with the permutation index mixed in —
+    entirely JVM-side, no UDF, no Spark-ML VectorUDT detour."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda j: F.array_min(F.transform(tokens_col, lambda t: F.hash(t, j))),
+    )
+
+
+def minhash_lsh_join(
+    records_a: DataFrame,
+    records_b: DataFrame,
+    id_col: str = "conv_id",
+    tokens_col: str = "token_set",
+    n_hashes: int = 96,
+    bands: int = 32,
+    min_jaccard: float = 0.5,
+    self_join: bool = False,
+) -> DataFrame:
+    """LSH candidate generation + exact-jaccard verification.
+
+    → (a_id, b_id, sim). With bands=32 × rows=3 over 96 hashes the S-curve
+    gives ~0.99 collision probability at jaccard 0.5 (and ~0.75 at 0.35 —
+    extra candidates are cheap because verification is exact, so precision
+    is 1 wrt ``min_jaccard`` and only recall depends on the banding).
+
+    Shuffles: one on (band_idx, band_hash) (the bucket join), one on the
+    verify join key. Bucket skew (many records sharing a band hash) is the
+    LSH analog of a hot token; AQE skew-join splits it.
+    """
+    rows = n_hashes // bands
+
+    def banded(records: DataFrame, side: str) -> DataFrame:
+        sig = minhash_signature(F.col(tokens_col), n_hashes)
+        return (
+            records.select(F.col(id_col).alias(f"{side}_id"), sig.alias("sig"))
+            .select(
+                f"{side}_id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(bands - 1)),
+                        lambda b: F.slice(F.col("sig"), b * rows + 1, rows),
+                    )
+                ).alias("band_idx", "band"),
+            )
+            .select(f"{side}_id", "band_idx", F.hash("band").alias("band_hash"))
+        )
+
+    ba = banded(records_a, "a")
+    bb = banded(records_b, "b") if not self_join else banded(records_b, "b")
+    cand = ba.join(bb, ["band_idx", "band_hash"]).select("a_id", "b_id")
+    if self_join:
+        cand = cand.filter(F.col("a_id") < F.col("b_id"))
+    cand = cand.distinct()
+
+    ta = records_a.select(F.col(id_col).alias("a_id"), F.col(tokens_col).alias("a_toks"))
+    tb = records_b.select(F.col(id_col).alias("b_id"), F.col(tokens_col).alias("b_toks"))
+    verified = (
+        cand.join(ta, "a_id")
+        .join(tb, "b_id")
+        .withColumn(
+            "sim",
+            F.size(F.array_intersect("a_toks", "b_toks"))
+            / (
+                F.size("a_toks") + F.size("b_toks")
+                - F.size(F.array_intersect("a_toks", "b_toks"))
+            ).cast("double"),
+        )
+        .filter(F.col("sim") >= min_jaccard)
+        .select("a_id", "b_id", "sim")
+    )
+    return verified
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood blocking (cheap complementary blocker)
+# --------------------------------------------------------------------------
+
+def sorted_neighborhood(
+    records_a: DataFrame,
+    records_b: DataFrame,
+    key_col: str,
+    window: int = 5,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Classic SNM over the union of both sides sorted by ``key_col``;
+    emits cross-source pairs within ``window`` positions → (a_id, b_id).
+
+    Scale path: the global rank is computed as range-partition offset +
+    local row_number (two-phase), NOT a single-partition window; the
+    neighbor pairing is an equi-join on exploded rank offsets (factor w),
+    not a range join.
+    """
+    u = records_a.select(F.col(id_col).alias("rid"), F.col(key_col).alias("key")).withColumn(
+        "side", F.lit("a")
+    ).unionByName(
+        records_b.select(F.col(id_col).alias("rid"), F.col(key_col).alias("key")).withColumn(
+            "side", F.lit("b")
+        )
+    )
+    n_parts = max(u.sparkSession.sparkContext.defaultParallelism, 4)
+    u = u.repartitionByRange(n_parts, "key", "rid").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = {r["pid"]: r["n"] for r in u.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w_local = Window.partitionBy("pid").orderBy("key", "rid")
+    ranked = u.withColumn("rn", F.row_number().over(w_local) + off[F.col("pid")] - 1)
+
+    left = ranked.select("rid", "side", "rn").withColumn(
+        "nbr", F.explode(F.sequence(F.col("rn") + 1, F.col("rn") + window))
+    )
+    right = ranked.select(
+        F.col("rid").alias("rid2"), F.col("side").alias("side2"), F.col("rn").alias("nbr")
+    )
+    pairs = left.join(right, "nbr").filter(F.col("side") != F.col("side2"))
+    a_first = F.col("side") == "a"
+    return pairs.select(
+        F.when(a_first, F.col("rid")).otherwise(F.col("rid2")).alias("a_id"),
+        F.when(a_first, F.col("rid2")).otherwise(F.col("rid")).alias("b_id"),
+    ).distinct()

@@ -1,0 +1,72 @@
+"""Canonicalization: transcripts → one resolvable record per conversation.
+
+The reference's ``agValue`` serialization joins every non-id attribute of a
+record with spaces (splitters/KNN-Join/splitter.py:45-52,
+methods/emtransformer/transform.py:8-26). Our entity is a *conversation*,
+so the analog is **ordered turn aggregation**: collect the turns of each
+conv_id, sort by turn_idx (the stable turn ordering of the input_hint
+invariant), and join the cleaned texts with ' '.
+
+Scale notes: one groupBy(conv_id) shuffle — unavoidable and key-balanced
+(conv_id is high-cardinality); the sort happens *inside* each group via
+array_sort on collected structs, not a global orderBy. Everything is a
+native Column expression (whole-stage codegen); no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ertransfer_spark.functions.text import clean_text, distinct_tokens, tokens
+
+
+def canonicalize(
+    transcripts: DataFrame,
+    id_col: str = "conv_id",
+    keep_turns: bool = False,
+) -> DataFrame:
+    """Returns (conv_id, agValue, tokens, token_set, n_turns, n_tokens
+    [, turns]).
+
+    - ``agValue``: cleaned turn texts joined in turn_idx order (A1 + W7).
+    - ``tokens``/``token_set``: pinned tokenization of agValue (F1-F4 input).
+    - ``turns``: the ordered struct array, kept only for the round-trip
+      invariant test (per-turn text equality under stable turn ordering).
+    """
+    turns = F.array_sort(
+        F.collect_list(F.struct(F.col("turn_idx"), F.col("role"), F.col("text"), F.col("tool")))
+    )
+    agg = transcripts.groupBy(id_col).agg(
+        turns.alias("turns"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    rec = agg.withColumn(
+        "agValue",
+        F.array_join(F.transform(F.col("turns"), lambda t: clean_text(t["text"])), " "),
+    )
+    rec = (
+        rec.withColumn("tokens", tokens(F.col("agValue")))
+        .withColumn("token_set", distinct_tokens(F.col("agValue")))
+        .withColumn("n_tokens", F.size(F.col("tokens")))
+    )
+    if not keep_turns:
+        rec = rec.drop("turns")
+    return rec
+
+
+def explode_turns(records: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """Inverse of canonicalize (for the invariant test): records built with
+    keep_turns=True back to (conv_id, turn_idx, role, text, tool) rows in
+    stable order."""
+    return records.select(
+        id_col, F.posexplode("turns").alias("pos", "turn")
+    ).select(
+        id_col,
+        F.col("turn.turn_idx").alias("turn_idx"),
+        F.col("turn.role").alias("role"),
+        F.col("turn.text").alias("text"),
+        F.col("turn.tool").alias("tool"),
+    )

@@ -1,0 +1,278 @@
+"""Clustering stage — SURVEY §2.5 W1-W3, §2.8 M4, + connected components.
+
+Reference parity (/root/reference/clustering/Probabilities):
+- exact clustering (EC, reciprocal top-1): clustering.py:7-40 → two
+  row_number windows + inner join (single pass).
+- unique-mapping clustering (UMC, greedy 1-1): clustering.py:42-67 —
+  inherently sequential scan in prob-desc order. Exact parallel
+  reformulation: **iterated locally-dominant (mutual-best) edge
+  selection** under the total edge order (prob DESC, a_id ASC, b_id ASC);
+  equals the greedy result because the greedy-accepted edge set is
+  exactly the set reachable by repeatedly taking edges that dominate
+  both endpoints' remaining candidates. Each round = two windows +
+  join + anti-joins, frontier localCheckpoint()ed.
+- threshold tuning: grid 0..1 step .01 (clustering.py:70-102) →
+  single-pass bucketed sweep (M4): one groupBy over prob buckets, 100
+  cumulative sums driver-side — never 100 rescans.
+- connected components (transitive clusters; the north rule requirement,
+  reference precedent ZeroER run_trans=True methods/zeroer/entrypoint.py:
+  65-66): large-star/small-star (Kiveris et al., MR-friendly, O(log n)
+  rounds) over accepted pairs; cluster id = min member id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# EC — reciprocal top-limit ("exact clustering")
+# --------------------------------------------------------------------------
+
+def exact_clusters(
+    predictions: DataFrame,
+    threshold: float = 0.5,
+    limit: int = 1,
+    prob_col: str = "prob_class1",
+) -> DataFrame:
+    """Mutual top-``limit`` pairs above threshold → (a_id, b_id, prob).
+
+    Parity: clustering/Probabilities/clustering.py:7-40. Deterministic
+    tie-break (prob DESC, other-id ASC) on both windows."""
+    p = predictions.filter(F.col(prob_col) > threshold)
+    wa = Window.partitionBy("a_id").orderBy(F.desc(prob_col), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc(prob_col), F.asc("a_id"))
+    top_a = p.withColumn("_r", F.row_number().over(wa)).filter(F.col("_r") <= limit).drop("_r")
+    top_b = p.withColumn("_r", F.row_number().over(wb)).filter(F.col("_r") <= limit).drop("_r")
+    return top_a.join(top_b.select("a_id", "b_id"), ["a_id", "b_id"]).select(
+        "a_id", "b_id", F.col(prob_col).alias("prob")
+    )
+
+
+# --------------------------------------------------------------------------
+# UMC — greedy 1-1 matching as iterated mutual-best selection
+# --------------------------------------------------------------------------
+
+def unique_mapping_clusters(
+    predictions: DataFrame,
+    threshold: float = 0.5,
+    prob_col: str = "prob_class1",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Greedy 1-1 matching (UMC) → (a_id, b_id, prob).
+
+    Exact parallel equivalent of the sequential greedy scan
+    (clustering/Probabilities/clustering.py:42-67): repeatedly accept
+    edges that are the best remaining edge of BOTH endpoints under the
+    total order (prob DESC, a_id ASC, b_id ASC), then drop all edges
+    touching matched ids. Converges in O(longest augmenting chain)
+    rounds; each frontier is localCheckpoint()ed to cut lineage.
+    """
+    remaining = predictions.filter(F.col(prob_col) > threshold).select(
+        "a_id", "b_id", F.col(prob_col).alias("prob")
+    )
+    remaining = remaining.localCheckpoint()
+    accepted = None
+    wa = Window.partitionBy("a_id").orderBy(F.desc("prob"), F.asc("a_id"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("prob"), F.asc("a_id"), F.asc("b_id"))
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        best = (
+            remaining.withColumn("_ra", F.row_number().over(wa))
+            .withColumn("_rb", F.row_number().over(wb))
+            .filter((F.col("_ra") == 1) & (F.col("_rb") == 1))
+            .select("a_id", "b_id", "prob")
+        )
+        best = best.localCheckpoint()
+        if best.isEmpty():
+            break
+        accepted = best if accepted is None else accepted.unionByName(best)
+        matched_a = best.select("a_id")
+        matched_b = best.select("b_id")
+        remaining = (
+            remaining.join(matched_a, "a_id", "left_anti")
+            .join(matched_b, "b_id", "left_anti")
+            .localCheckpoint()
+        )
+    if accepted is None:
+        return predictions.sparkSession.createDataFrame(
+            [], "a_id string, b_id string, prob double"
+        )
+    return accepted
+
+
+# --------------------------------------------------------------------------
+# Threshold sweep — single-pass F1 over the 0..1/0.01 grid
+# --------------------------------------------------------------------------
+
+def threshold_sweep(
+    predictions: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "prob_class1",
+    grid: int = 100,
+) -> list[dict]:
+    """F1/P/R for every threshold t = i/grid in ONE pass.
+
+    Parity: clustering/Probabilities/clustering.py:70-102 runs the grid as
+    100 full rescans; here one bucketed groupBy + driver-side cumsum over
+    ``grid`` rows. Returns [{threshold, precision, recall, f1}, ...].
+    """
+    bucket = F.least(F.floor(F.col(prob_col) * grid), F.lit(grid - 1)).cast("int")
+    agg = (
+        predictions.groupBy(bucket.alias("bkt"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(label_col).alias("pos"))
+        .collect()
+    )
+    by_bkt = {r["bkt"]: (r["n"], r["pos"] or 0) for r in agg}
+    total_pos = sum(p for _, p in by_bkt.values())
+    out = []
+    # predicted-positive at threshold t=i/grid = rows with prob > t ≈ buckets >= i
+    cum_n = cum_p = 0
+    suffix = [(0, 0)] * (grid + 1)
+    for i in range(grid - 1, -1, -1):
+        n, p = by_bkt.get(i, (0, 0))
+        cum_n += n
+        cum_p += p
+        suffix[i] = (cum_n, cum_p)
+    for i in range(grid):
+        pred_n, tp = suffix[i]
+        prec = tp / pred_n if pred_n else 0.0
+        rec = tp / total_pos if total_pos else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        out.append(
+            {"threshold": i / grid, "precision": prec, "recall": rec, "f1": f1}
+        )
+    return out
+
+
+def best_threshold(predictions: DataFrame, **kw) -> float:
+    sweep = threshold_sweep(predictions, **kw)
+    return max(sweep, key=lambda r: (r["f1"], -r["threshold"]))["threshold"]
+
+
+# --------------------------------------------------------------------------
+# Connected components — large-star / small-star (Kiveris et al. 2014)
+# --------------------------------------------------------------------------
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    u = F.col("u")
+    v = F.col("v")
+    return (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _neighbors(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = 30,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Connected components over an undirected edge list (u,v) →
+    (node, cluster_id) with cluster_id = min node id in the component.
+
+    Alternating large-star / small-star rounds; converges in O(log n).
+    Fixpoint detected by an order-insensitive edge-set fingerprint
+    (count + sum of pair-hashes) — no expensive subtract. Frontiers are
+    localCheckpoint()ed so the iterative plan doesn't grow.
+    """
+    e = _canonical_edges(edges).localCheckpoint()
+
+    def fingerprint(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # pmod keeps the sum far from long overflow (ANSI-safe)
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 40))).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = _neighbors(e)
+        m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.withColumn("mn", F.least(F.col("mn"), F.col("u")))
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # direct edges high→low: (u=max, v=min)
+        directed = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = directed.groupBy("u").agg(F.min("v").alias("mn"))
+        out = (
+            directed.join(m, "u")
+            .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+            .unionByName(m.select(F.col("u").alias("a"), F.col("mn").alias("b")))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    prev_fp = fingerprint(e)
+    for i in range(max_rounds):
+        e = large_star(e)
+        e = small_star(e)
+        if (i + 1) % checkpoint_every == 0:
+            e = e.localCheckpoint()
+        fp = fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # At fixpoint e is a star in canonical (least, greatest) orientation:
+    # u = component-min root, v = member.
+    comp = e.select(F.col("v").alias("node"), F.col("u").alias("cluster_id"))
+    roots = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    return comp.unionByName(roots).dropDuplicates(["node"])
+
+
+def clusters_from_pairs(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+    """Accepted cross-source pairs → transitive clusters.
+
+    Ids are namespaced ('a#'/'b#') before the CC union since the two
+    sources may share raw ids; output (node, side, raw_id, cluster_id)."""
+    edges = pairs.select(
+        F.concat(F.lit("a#"), F.col(a_col).cast("string")).alias("u"),
+        F.concat(F.lit("b#"), F.col(b_col).cast("string")).alias("v"),
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("node"),
+        F.substring("node", 1, 1).alias("side"),
+        F.expr("substring(node, 3)").alias("raw_id"),
+        F.col("cluster_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pairwise evaluation (P/R/F1 vs golden matches)
+# --------------------------------------------------------------------------
+
+def pairwise_metrics(accepted: DataFrame, golden: DataFrame) -> dict:
+    """Pairwise precision/recall/F1 of accepted (a_id,b_id) vs golden —
+    parity: clustering/Probabilities/clustering.py:32-37."""
+    acc = accepted.select("a_id", "b_id").distinct()
+    g_a = next(c for c in golden.columns if c.startswith("a"))
+    g_b = next(c for c in golden.columns if c.startswith("b"))
+    gold = golden.select(F.col(g_a).alias("a_id"), F.col(g_b).alias("b_id")).distinct()
+    tp = acc.join(gold, ["a_id", "b_id"], "left_semi").count()
+    n_acc = acc.count()
+    n_gold = gold.count()
+    prec = tp / n_acc if n_acc else 0.0
+    rec = tp / n_gold if n_gold else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"precision": prec, "recall": rec, "f1": f1, "tp": tp, "n_accepted": n_acc, "n_golden": n_gold}

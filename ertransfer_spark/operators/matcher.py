@@ -1,0 +1,117 @@
+"""Pairwise matcher (verification stage) — SURVEY §2.8 M1, §2.7 F7/F10.
+
+The reference's matcher zoo spans Magellan's classical learners
+(methods/magellan/entrypoint.py:18-20,65-78: DecisionTree/SVM/RF/LogReg/...)
+and fine-tuned transformers (emtransformer/ditto/...). Per the north rule,
+our decision boundary is a broadcast **logistic regression / GBT** over the
+vectorized similarity-feature vector (functions/similarity.py:
+pair_features / features_native — the Magellan auto-feature analog,
+methods/magellan/entrypoint.py:81-89).
+
+Flow (all lazy until fit):
+  candidate pairs (a_id, b_id, label?) + canonical records
+  → two hash equi-joins attach agValue/token_set (J4 parity,
+    splitters/KNN-Join/splitter.py:99-103) — broadcast when a side is small
+  → feature columns (JVM exprs + one Arrow-batched pandas UDF)
+  → Spark ML fit on the train split (driver-coordinated, data-parallel)
+  → model.transform scores ALL candidates → (a_id, b_id, label,
+    prob_class1)  [F10 contract: methods/emtransformer/transform.py:75-79]
+
+Ids are carried through the scoring plan (no positional re-attach like
+methods/emtransformer/transform.py:76-77 — J8 is dissolved by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ertransfer_spark.functions.similarity import FEATURE_NAMES, features_native
+
+FEATURES = [f for f in FEATURE_NAMES if f != "prefix_sim"]
+
+
+def attach_pair_text(
+    pairs: DataFrame,
+    records_a: DataFrame,
+    records_b: DataFrame,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """pairs(a_id,b_id,...) + canonical records → + (a_norm, b_norm,
+    a_tokens, b_tokens). Two equi-joins; Catalyst/AQE picks broadcast when
+    a record side fits."""
+    ra = records_a.select(
+        F.col(id_col).alias("a_id"),
+        F.col("agValue").alias("a_norm"),
+        F.col("token_set").alias("a_tokens"),
+    )
+    rb = records_b.select(
+        F.col(id_col).alias("b_id"),
+        F.col("agValue").alias("b_norm"),
+        F.col("token_set").alias("b_tokens"),
+    )
+    return pairs.join(ra, "a_id").join(rb, "b_id")
+
+
+def featurize(pairs_with_text: DataFrame) -> DataFrame:
+    feats = features_native(
+        F.col("a_norm"), F.col("b_norm"), F.col("a_tokens"), F.col("b_tokens")
+    )
+    keep = [c for c in pairs_with_text.columns if c not in ("a_norm", "b_norm", "a_tokens", "b_tokens")]
+    return pairs_with_text.select(*keep, *feats)
+
+
+def train_matcher(
+    featurized_train: DataFrame,
+    algorithm: str = "logreg",
+    label_col: str = "label",
+    seed: int = 42,
+):
+    """Fit LR or GBT on the feature columns. Returns the fitted PipelineModel."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import GBTClassifier, LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=FEATURES, outputCol="features", handleInvalid="keep")
+    if algorithm == "logreg":
+        clf = LogisticRegression(
+            featuresCol="features", labelCol=label_col, maxIter=100, regParam=1e-4
+        )
+    elif algorithm == "gbt":
+        clf = GBTClassifier(
+            featuresCol="features", labelCol=label_col, maxIter=40, maxDepth=4, seed=seed
+        )
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    return Pipeline(stages=[assembler, clf]).fit(featurized_train)
+
+
+def score(model, featurized: DataFrame, keep_cols: tuple = ("a_id", "b_id", "label")) -> DataFrame:
+    """Broadcast-scored predictions → (*keep_cols, prob_class1).
+
+    model.transform ships the (tiny) model to executors once; probability
+    extraction is a vector slot access, no softmax UDF needed (the
+    reference's softmax F10, methods/emtransformer/transform.py:69-75,
+    is subsumed by Spark ML's calibrated probability column)."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(featurized)
+    cols = [c for c in keep_cols if c in featurized.columns]
+    return scored.select(
+        *cols, vector_to_array("probability")[1].alias("prob_class1")
+    )
+
+
+def evaluate_predictions(preds: DataFrame, threshold: float = 0.5) -> dict:
+    """F1/P/R of thresholded predictions vs labels (metrics CSV analog,
+    methods/magellan/transform.py:20-35)."""
+    agg = preds.agg(
+        F.sum(F.when((F.col("prob_class1") > threshold) & (F.col("label") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("prob_class1") > threshold, 1).otherwise(0)).alias("pp"),
+        F.sum("label").alias("pos"),
+    ).collect()[0]
+    tp, pp, pos = agg["tp"] or 0, agg["pp"] or 0, agg["pos"] or 0
+    prec = tp / pp if pp else 0.0
+    rec = tp / pos if pos else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"precision": prec, "recall": rec, "f1": f1, "tp": tp, "predicted_pos": pp, "pos": pos}
