@@ -1,0 +1,189 @@
+"""End-to-end ER pipeline plan — the four reference stages as one resumable
+Spark job graph (SURVEY §3: normalize → filtering → matching → clustering).
+
+Every stage commits a snapshot through :class:`SnapshotCatalog` and appends
+lineage rows (stage, counts, wall_ms, run_id). ``resume=True`` skips any
+stage whose snapshot is already committed — kill the driver at any stage
+boundary and rerun: only the remaining stages execute (the north-rule
+checkpoint/resume contract; reference precedent is only model-checkpoint
+reuse, methods/emtransformer/entrypoint.py:83-87,179-202).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ertransfer_spark.operators.blocking import block_histogram, top_k_token_join
+from ertransfer_spark.operators.canonicalize import canonicalize
+from ertransfer_spark.operators.clustering import (
+    best_threshold,
+    clusters_from_pairs,
+    exact_clusters,
+    pairwise_metrics,
+    unique_mapping_clusters,
+)
+from ertransfer_spark.operators.labeling import (
+    attach_labels,
+    referential_filter,
+    stratified_split,
+)
+from ertransfer_spark.operators.matcher import (
+    attach_pair_text,
+    evaluate_predictions,
+    featurize,
+    score,
+    train_matcher,
+)
+from ertransfer_spark.sources.catalog import SnapshotCatalog
+
+
+@dataclass
+class PipelineConfig:
+    k: int = 5
+    metric: str = "jaccard"
+    max_token_df: int | None = None
+    posting_budget: int | None = None
+    min_sim: float = 0.0
+    algorithm: str = "logreg"
+    clustering: str = "umc"          # umc | ec
+    threshold: float | None = None   # None → tuned via single-pass sweep
+    split_weights: tuple = (0.6, 0.2, 0.2)
+    seed: int = 42
+    extra: dict = field(default_factory=dict)
+
+
+class ERPipeline:
+    """Stages: records_a, records_b → candidates → predictions → matched_pairs
+    → clusters (+ metrics & lineage tables)."""
+
+    def __init__(self, spark: SparkSession, workdir: str, config: PipelineConfig | None = None):
+        self.spark = spark
+        self.catalog = SnapshotCatalog(spark, workdir)
+        self.cfg = config or PipelineConfig()
+        self.run_id = uuid.uuid4().hex[:12]
+
+    def _stage(self, name: str, fn, resume: bool):
+        if resume and self.catalog.exists(name):
+            return self.catalog.read(name)
+        t0 = time.time()
+        df, extra_lineage = fn()
+        self.catalog.commit(name, df, meta={"run_id": self.run_id})
+        wall_ms = int((time.time() - t0) * 1000)
+        rows = [
+            {
+                "stage": name,
+                "run_id": self.run_id,
+                "wall_ms": wall_ms,
+                "block_key": r.get("block_key", ""),
+                "candidate_count": int(r.get("candidate_count", 0)),
+                "comparisons": int(r.get("comparisons", 0)),
+                "matches": int(r.get("matches", 0)),
+            }
+            for r in (extra_lineage or [{}])
+        ]
+        self.catalog.append_lineage(rows)
+        return self.catalog.read(name)
+
+    def run(
+        self,
+        transcripts_a: DataFrame,
+        transcripts_b: DataFrame,
+        golden_matches: DataFrame | None = None,
+        resume: bool = True,
+    ) -> dict:
+        cfg = self.cfg
+
+        ra = self._stage(
+            "records_a", lambda: (canonicalize(transcripts_a), [{"candidate_count": transcripts_a.count()}]), resume
+        )
+        rb = self._stage(
+            "records_b", lambda: (canonicalize(transcripts_b), [{"candidate_count": transcripts_b.count()}]), resume
+        )
+
+        def _block():
+            cand = top_k_token_join(
+                ra, rb, k=cfg.k, metric=cfg.metric,
+                max_token_df=cfg.max_token_df, posting_budget=cfg.posting_budget,
+                min_sim=cfg.min_sim,
+            )
+            # per-block lineage from the token-frequency histogram
+            hist = block_histogram(ra).collect()
+            lineage = [
+                {
+                    "block_key": f"df<={r['df_bucket']}",
+                    "candidate_count": int(r["n_tokens"]),
+                    "comparisons": int(r["comparisons"]),
+                }
+                for r in hist
+            ]
+            return cand, lineage
+
+        cand = self._stage("candidates", _block, resume)
+
+        golden = None
+        if golden_matches is not None:
+            golden = referential_filter(golden_matches, ra, rb)
+
+        def _label():
+            labeled = attach_labels(cand, golden)
+            n_match = labeled.agg(F.sum("label")).collect()[0][0] or 0
+            return labeled, [{"candidate_count": labeled.count(), "matches": int(n_match)}]
+
+        labeled = self._stage("labeled", _label, resume) if golden is not None else cand
+
+        def _predict():
+            if golden is not None:
+                splits = stratified_split(labeled, cfg.split_weights, cfg.seed)
+                train_ft = featurize(attach_pair_text(splits["train"], ra, rb))
+                model = train_matcher(train_ft, algorithm=cfg.algorithm, seed=cfg.seed)
+                all_ft = featurize(attach_pair_text(labeled, ra, rb))
+                preds = score(model, all_ft)
+            else:
+                # unsupervised fallback: blocking similarity as the score
+                preds = labeled.select(
+                    "a_id", "b_id", F.lit(0).alias("label"), F.col("sim").alias("prob_class1")
+                )
+            return preds, [{"candidate_count": preds.count()}]
+
+        preds = self._stage("predictions", _predict, resume)
+
+        def _cluster():
+            t = cfg.threshold
+            if t is None and golden is not None:
+                t = best_threshold(preds)
+            elif t is None:
+                t = 0.5
+            if cfg.clustering == "umc":
+                pairs = unique_mapping_clusters(preds, threshold=t)
+            else:
+                pairs = exact_clusters(preds, threshold=t)
+            return pairs.withColumn("threshold", F.lit(float(t))), [
+                {"candidate_count": pairs.count()}
+            ]
+
+        matched = self._stage("matched_pairs", _cluster, resume)
+        clusters = self._stage(
+            "clusters", lambda: (clusters_from_pairs(matched), [{"candidate_count": matched.count()}]), resume
+        )
+
+        result = {"matched_pairs": matched, "clusters": clusters, "predictions": preds}
+        if golden is not None:
+            metrics = pairwise_metrics(matched, golden)
+            metrics.update(evaluate_predictions(preds))
+            mdf = self.spark.createDataFrame(
+                [
+                    {
+                        "run_id": self.run_id,
+                        "stage": "pipeline",
+                        **{k: float(v) for k, v in metrics.items()},
+                    }
+                ]
+            )
+            self.catalog.commit("metrics", mdf, meta={"run_id": self.run_id})
+            result["metrics"] = metrics
+        return result

