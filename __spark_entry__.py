@@ -1,38 +1,887 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator (or operator composition) from
+SURVEY.md §2 / the training-data-pipeline extension, run over the driver's
+parquet tables; ``oracle_sql()`` carries the exact DuckDB twin. Parity
+rules shared by both sides (kept in ertransfer_spark.functions.text /
+textstats / operators.dedup):
+
+- pinned tokenization: lower + split on ``[^a-z0-9]+``, drop empties;
+- word-bigram shingles (distinct) are the blocking tokens for the
+  document ER flow (A = even doc_id, B = odd doc_id);
+- every float column is rounded (6 dp; 4 dp for embedding cosines) and
+  ranking happens on the ROUNDED value with id tie-breaks, so windowed
+  top-k is reproducible across engines and float-summation orders;
+- integer outputs are explicitly cast to BIGINT on both sides;
+- portable hashes (polynomial mod 2^31-1) wherever a fingerprint must
+  match across engines; engine-native murmur3 (MinHash-LSH, hyperplane
+  LSH) stays rows-only-checked.
+
+Iterative operators (greedy UMC, large-star/small-star connected
+components) are not ANSI-SQL-expressible as single queries; CC gets a
+recursive-CTE oracle, UMC is rows-only by design.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared helpers / parity constants
+# ---------------------------------------------------------------------------
+
+from ertransfer_spark.functions.text import (  # noqa: E402
+    DUCKDB_BIGRAMS_SQL,
+    DUCKDB_TOKENS_SQL,
+    SPARK_BIGRAMS_SQL,
+    SPARK_TOKENS_SQL,
+)
+
+TOKS_SPARK = SPARK_TOKENS_SQL.format(col="text")
+TOKS_DUCK = DUCKDB_TOKENS_SQL.format(col="text")
+BIGRAMS_SPARK = SPARK_BIGRAMS_SQL.format(ts="ts")
+BIGRAMS_DUCK = DUCKDB_BIGRAMS_SQL.format(ts="ts")
+
+MIN_SIM = 0.05       # scored-pair floor (keeps the pair table sparse)
+EC_THRESHOLD = 0.1   # reciprocal-top-1 acceptance
+CC_THRESHOLD = 0.3   # edge threshold for transitive clustering
+LABEL_EXPR = "a_lang = b_lang"  # proxy golden label for sweep/split parity
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, lang, s = distinct word-bigram shingles, sz)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("long").alias("id"),
+            "lang",
+            F.expr(TOKS_SPARK).alias("ts"),
+        )
+        .withColumn("s", F.expr(BIGRAMS_SPARK))
+        .select("id", "lang", "s", F.size("s").alias("sz"))
+    )
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocking join (SURVEY J1): explode shingles → equi-join on
+    shingle → pair agg → jaccard. A = even ids, B = odd ids.
+    Columns: a_id b_id overlap a_size b_size a_lang b_lang sim_r."""
+    d = _doc_shingles(spark, sf_dir)
+    a = d.filter(F.col("id") % 2 == 0).select(
+        F.col("id").alias("a_id"), F.col("lang").alias("a_lang"),
+        F.col("sz").alias("a_sz"), F.explode("s").alias("g"),
+    )
+    b = d.filter(F.col("id") % 2 == 1).select(
+        F.col("id").alias("b_id"), F.col("lang").alias("b_lang"),
+        F.col("sz").alias("b_sz"), F.explode("s").alias("g"),
+    )
+    pairs = a.join(b, "g").groupBy("a_id", "b_id").agg(
+        F.count(F.lit(1)).cast("long").alias("overlap"),
+        F.first("a_sz").alias("a_sz"),
+        F.first("b_sz").alias("b_sz"),
+        F.first("a_lang").alias("a_lang"),
+        F.first("b_lang").alias("b_lang"),
+    )
+    sim_r = F.round(
+        F.col("overlap") / (F.col("a_sz") + F.col("b_sz") - F.col("overlap")), 6
+    )
+    return (
+        pairs.withColumn("sim_r", sim_r)
+        .filter(F.col("sim_r") >= MIN_SIM)
+        .select(
+            "a_id", "b_id", "overlap",
+            F.col("a_sz").cast("long").alias("a_size"),
+            F.col("b_sz").cast("long").alias("b_size"),
+            "a_lang", "b_lang", "sim_r",
+        )
+    )
+
+
+# DuckDB twin of _scored_pairs, used as the WITH-prefix of several oracles.
+SQL_SCORED = f"""
+WITH tk AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, lang, {TOKS_DUCK} AS ts
+  FROM documents
+), shd AS (
+  SELECT id, lang, {BIGRAMS_DUCK} AS s FROM tk
+), sa AS (
+  SELECT id AS a_id, lang AS a_lang, len(s) AS a_sz, unnest(s) AS g
+  FROM shd WHERE id % 2 = 0
+), sb AS (
+  SELECT id AS b_id, lang AS b_lang, len(s) AS b_sz, unnest(s) AS g
+  FROM shd WHERE id % 2 = 1
+), pr AS (
+  SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS overlap,
+         any_value(a_sz) AS a_sz, any_value(b_sz) AS b_sz,
+         any_value(a_lang) AS a_lang, any_value(b_lang) AS b_lang
+  FROM sa JOIN sb USING (g) GROUP BY a_id, b_id
+), scored AS (
+  SELECT a_id, b_id, overlap,
+         CAST(a_sz AS BIGINT) AS a_size, CAST(b_sz AS BIGINT) AS b_size,
+         a_lang, b_lang,
+         round(overlap / (a_sz + b_sz - overlap), 6) AS sim_r
+  FROM pr WHERE round(overlap / (a_sz + b_sz - overlap), 6) >= {MIN_SIM}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ER flow queries (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+def q_tokenize_stats(spark, sf_dir):
+    """F1-F3: pinned tokenization + normalization digest."""
+    from ertransfer_spark.functions.text import normalize, tokens
+
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("n_distinct_tokens"),
+        F.md5(normalize("text")).alias("norm_md5"),
+    )
+
+
+def q_qgram_profile(spark, sf_dir):
+    """F4: char q-gram generation (q=3, set semantics)."""
+    from ertransfer_spark.functions.text import qgrams
+
+    g = qgrams(F.col("text"), q=3)
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(g).cast("long").alias("n_q3"),
+        F.array_min(g).alias("min_q3"),
+    )
+
+
+def q_topk_token_join(spark, sf_dir):
+    """J1/J3/W4/F5: top-5-per-A-record similarity join on bigram shingles,
+    ranked on rounded jaccard with b_id tie-break."""
+    s = _scored_pairs(spark, sf_dir)
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim_r"), F.asc("b_id"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("a_id", "b_id", "overlap", "a_size", "b_size", "sim_r")
+    )
+
+
+def q_reciprocal_top1(spark, sf_dir):
+    """W3/A3/A4 (exact clustering): mutual-best pairs above threshold."""
+    s = _scored_pairs(spark, sf_dir).filter(F.col("sim_r") > EC_THRESHOLD)
+    wa = Window.partitionBy("a_id").orderBy(F.desc("sim_r"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("sim_r"), F.asc("a_id"))
+    top_a = s.withColumn("r", F.row_number().over(wa)).filter(F.col("r") == 1).drop("r")
+    top_b = s.withColumn("r", F.row_number().over(wb)).filter(F.col("r") == 1).drop("r")
+    return top_a.join(top_b.select("a_id", "b_id"), ["a_id", "b_id"]).select(
+        "a_id", "b_id", "sim_r"
+    )
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """M4: single-pass F1 sweep over prob buckets (label = same lang)."""
+    s = _scored_pairs(spark, sf_dir).select(
+        F.least(F.floor(F.col("sim_r") * 100), F.lit(99)).cast("long").alias("bkt"),
+        F.expr(f"CASE WHEN {LABEL_EXPR} THEN 1 ELSE 0 END").alias("label"),
+    )
+    agg = s.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    w_desc = Window.orderBy(F.desc("bkt")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    out = agg.select(
+        "bkt", "n", "pos",
+        F.sum("n").over(w_desc).alias("pred_n"),
+        F.sum("pos").over(w_desc).alias("tp"),
+        F.sum("pos").over(w_all).alias("total_pos"),
+    )
+    prec = F.col("tp") / F.col("pred_n")
+    rec = F.col("tp") / F.col("total_pos")
+    return out.select(
+        "bkt",
+        F.col("pred_n").cast("long").alias("pred_n"),
+        F.col("tp").cast("long").alias("tp"),
+        F.round(prec, 6).alias("prec_r"),
+        F.round(rec, 6).alias("rec_r"),
+        F.round(F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0), 6).alias("f1_r"),
+    )
+
+
+def q_stratified_split(spark, sf_dir):
+    """M3: deterministic label-stratified split via a portable Knuth
+    multiplicative hash on (a_id, b_id) — counts per (split, label)."""
+    h = (F.col("a_id") * F.lit(2654435761) + F.col("b_id") * F.lit(97)) % F.lit(4294967296)
+    bkt = h % 100
+    s = _scored_pairs(spark, sf_dir).select(
+        F.when(bkt < 60, "train").when(bkt < 80, "valid").otherwise("test").alias("split"),
+        F.expr(f"CASE WHEN {LABEL_EXPR} THEN 1 ELSE 0 END").cast("long").alias("label"),
+    )
+    return s.groupBy("split", "label").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+def q_umc_greedy(spark, sf_dir):
+    """W2: greedy 1-1 matching via iterated mutual-best rounds. Iterative
+    driver loop — no single-SQL oracle (rows-only check)."""
+    from ertransfer_spark.operators.clustering import unique_mapping_clusters
+
+    preds = _scored_pairs(spark, sf_dir).select(
+        "a_id", "b_id", F.col("sim_r").alias("prob_class1")
+    )
+    out = unique_mapping_clusters(preds, threshold=CC_THRESHOLD)
+    return out.select("a_id", "b_id", F.round("prob", 6).alias("prob_r"))
+
+
+def q_connected_components(spark, sf_dir):
+    """North-rule transitive clustering: large-star/small-star CC over
+    pairs with sim ≥ threshold; cluster id = min member id. The A/B parity
+    id split makes the two sides disjoint, so raw ids are the nodes."""
+    from ertransfer_spark.operators.clustering import connected_components
+
+    edges = (
+        _scored_pairs(spark, sf_dir)
+        .filter(F.col("sim_r") >= CC_THRESHOLD)
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# transcript-shaped ops on events (A1/W7, windows)
+# ---------------------------------------------------------------------------
+
+def q_canonicalize_events(spark, sf_dir):
+    """A1/W7: ordered turn aggregation — collect, sort by event_id, join;
+    digest so the hash compare is robust."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("event_id", "props"))),
+                    lambda s: s["props"],
+                ),
+                " ",
+            )
+        ).alias("agvalue_md5"),
+        F.floor(F.unix_timestamp(F.min("ts"))).cast("long").alias("first_ts_epoch"),
+    )
+    return agg
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Window/lag sessionization (30-min gap) → per-user session stats."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    flagged = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "sess", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    per_sess = flagged.groupBy("user_id", "sess").agg(F.count(F.lit(1)).alias("n"))
+    return per_sess.groupBy("user_id").agg(
+        F.max("sess").cast("long").alias("n_sessions"),
+        F.max("n").cast("long").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup suite
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_groups(spark, sf_dir):
+    from ertransfer_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_stats(spark, sf_dir):
+    from ertransfer_spark.operators.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_shingle_jaccard(spark, sf_dir):
+    """n-gram (word-bigram shingle) jaccard near-dup pairs, self-join."""
+    d = _doc_shingles(spark, sf_dir)
+    p = d.select("id", "sz", F.explode("s").alias("g"))
+    left = p.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"), "g")
+    right = p.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"), "g")
+    pairs = (
+        left.join(right, "g")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("overlap"),
+            F.first("a_sz").alias("a_sz"),
+            F.first("b_sz").alias("b_sz"),
+        )
+    )
+    sim_r = F.round(F.col("overlap") / (F.col("a_sz") + F.col("b_sz") - F.col("overlap")), 6)
+    return (
+        pairs.withColumn("sim_r", sim_r)
+        .filter(F.col("sim_r") >= 0.6)
+        .select("a_id", "b_id", "sim_r")
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup (murmur3 signatures — rows-only check; the
+    engine-side recall test vs exact jaccard lives in tests/)."""
+    from ertransfer_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_t(spark, sf_dir, "documents"), min_jaccard=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    from ertransfer_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from ertransfer_spark.functions.textstats import doc_fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_fingerprint("text").cast("long").alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per vector (exact ANN baseline)."""
+    from ertransfer_spark.operators.simsearch import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e, k=5, id_col="vec_id", vec_col="embedding")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN (murmur3 planes — rows-only check)."""
+    from ertransfer_spark.operators.simsearch import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e, k=5, id_col="vec_id", vec_col="embedding")
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from ertransfer_spark.operators.simsearch import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    from ertransfer_spark.functions.textstats import lang_id
+
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        lang_id("text").alias("pred_lang"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    from ertransfer_spark.functions.textstats import quality_features
+
+    qf = quality_features("text")
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        qf["n_chars"].alias("n_chars_q"),
+        qf["n_tokens"].alias("n_tokens_q"),
+        F.round(qf["mean_tok_len"], 6).alias("mean_tok_len_r"),
+        F.round(qf["alnum_ratio"], 6).alias("alnum_ratio_r"),
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from ertransfer_spark.functions.textstats import token_counts
+
+    tc = token_counts("text")
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tc["n_ws_tokens"].alias("n_ws_tokens"),
+        tc["n_bpe_tokens"].alias("n_bpe_tokens"),
+    )
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: Arrow-batched mapInPandas over binary payloads."""
+    from ertransfer_spark.operators.multimodal import binary_meta
+
+    return binary_meta(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregation / set ops (SURVEY A2-A10, SO1-3, P*, J4)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """A2 analog (TPC-H Q1 shape): filter pushdown + grouped agg.
+    Money sums go through DECIMAL so they are exact (order-independent)."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-12-01"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc_r"),
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+    )
+
+
+def q_top_customers_per_nation(spark, sf_dir):
+    """J4 + W4: 3-way dim join + per-group top-3 by exact revenue."""
+    rev = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = rev.join(c, rev.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "n_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "revenue",
+            "n_orders",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """SO3/P4: anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select(
+        F.col("c_custkey").cast("long").alias("c_custkey")
+    )
+
+
+def q_set_ops_users(spark, sf_dir):
+    """SO2: users with both purchase AND error events (intersect)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id")
+    ).distinct()
+    r = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").cast("long").alias("user_id")
+    ).distinct()
+    return p.intersect(r)
+
+
+def q_value_histogram(spark, sf_dir):
+    """A5: bucketed histogram of event values."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.floor(F.col("value") / 10).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_kl_divergence(spark, sf_dir):
+    """A6: Laplace-smoothed KL divergence between the value distributions
+    of purchase vs click events over a fixed 20-bucket grid."""
+    e = _t(spark, sf_dir, "events")
+    bkt = F.least(F.floor(F.col("value") / 20), F.lit(19)).cast("long")
+    counts = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(bkt.alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = spark.range(20).select(F.col("id").alias("bucket"))
+    p = grid.join(
+        counts.filter(F.col("event_type") == "purchase").select("bucket", F.col("cnt").alias("pc")),
+        "bucket", "left",
+    ).join(
+        counts.filter(F.col("event_type") == "click").select("bucket", F.col("cnt").alias("qc")),
+        "bucket", "left",
+    ).fillna({"pc": 0, "qc": 0})
+    tot = p.agg(F.sum("pc").alias("np"), F.sum("qc").alias("nq")).collect()[0]
+    n_p, n_q = int(tot["np"]), int(tot["nq"])
+    pi = (F.col("pc") + 1) / F.lit(float(n_p + 20))
+    qi = (F.col("qc") + 1) / F.lit(float(n_q + 20))
+    return p.agg(
+        F.round(F.sum(pi * F.log(pi / qi)), 6).alias("kl_r"),
+        F.lit(n_p).cast("long").alias("n_p"),
+        F.lit(n_q).cast("long").alias("n_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the blocking join + reciprocal-top-1 matching (the ER core)
+    on sf0.001."""
+    return q_reciprocal_top1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ER flow (SURVEY §2)
+        "tokenize_stats": q_tokenize_stats,
+        "qgram_profile": q_qgram_profile,
+        "topk_token_join": q_topk_token_join,
+        "reciprocal_top1": q_reciprocal_top1,
+        "threshold_sweep": q_threshold_sweep,
+        "stratified_split": q_stratified_split,
+        "umc_greedy": q_umc_greedy,
+        "connected_components": q_connected_components,
+        # transcript-shaped ops
+        "canonicalize_events": q_canonicalize_events,
+        "sessionize_events": q_sessionize_events,
+        # dedup suite
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_exact_stats": q_dedup_exact_stats,
+        "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash": q_simhash,
+        "doc_fingerprints": q_doc_fingerprints,
+        # similarity search
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
+        # text analysis
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "binary_meta": q_binary_meta,
+        # relational / agg / set ops
+        "pricing_summary": q_pricing_summary,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "customers_without_orders": q_customers_without_orders,
+        "set_ops_users": q_set_ops_users,
+        "value_histogram": q_value_histogram,
+        "kl_divergence": q_kl_divergence,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ertransfer_spark.functions.text import DUCKDB_NORM
+    from ertransfer_spark.functions.textstats import (
+        QUALITY_DUCKDB,
+        TOKEN_COUNTS_DUCKDB,
+        doc_fingerprint_duckdb,
+        lang_id_duckdb,
+    )
+    from ertransfer_spark.operators.dedup import simhash_duckdb_sql
+
+    norm = DUCKDB_NORM.format(col="text")
+    label_int = f"CAST(CASE WHEN {LABEL_EXPR} THEN 1 ELSE 0 END AS BIGINT)"
+    return {
+        "tokenize_stats": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len({TOKS_DUCK}) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct({TOKS_DUCK})) AS BIGINT) AS n_distinct_tokens,
+                   md5({norm}) AS norm_md5
+            FROM documents
+        """,
+        "qgram_profile": f"""
+            WITH g AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     list_distinct(
+                       CASE WHEN length({norm}) < 3 THEN
+                         CASE WHEN length({norm}) > 0 THEN [{norm}] ELSE []::VARCHAR[] END
+                       ELSE list_transform(range(1, length({norm}) - 1), i -> substr({norm}, i, 3)) END
+                     ) AS q3
+              FROM documents
+            )
+            SELECT doc_id, CAST(len(q3) AS BIGINT) AS n_q3,
+                   list_aggregate(q3, 'min') AS min_q3
+            FROM g
+        """,
+        "topk_token_join": SQL_SCORED + """
+            SELECT a_id, b_id, overlap, a_size, b_size, sim_r FROM (
+              SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim_r DESC, b_id) AS rk
+              FROM scored
+            ) WHERE rk <= 5
+        """,
+        "reciprocal_top1": SQL_SCORED + f"""
+            , filt AS (SELECT * FROM scored WHERE sim_r > {EC_THRESHOLD})
+            , ta AS (SELECT a_id, b_id, sim_r FROM (
+                SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim_r DESC, b_id) AS r
+                FROM filt) WHERE r = 1)
+            , tb AS (SELECT a_id, b_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY sim_r DESC, a_id) AS r
+                FROM filt) WHERE r = 1)
+            SELECT ta.a_id, ta.b_id, ta.sim_r FROM ta JOIN tb USING (a_id, b_id)
+        """,
+        "threshold_sweep": SQL_SCORED + f"""
+            , lab AS (
+              SELECT CAST(least(floor(sim_r * 100), 99) AS BIGINT) AS bkt,
+                     {label_int} AS label
+              FROM scored
+            ), agg AS (
+              SELECT bkt, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS pos
+              FROM lab GROUP BY bkt
+            )
+            SELECT bkt,
+                   CAST(sum(n) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pred_n,
+                   CAST(sum(pos) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+                   round((sum(pos) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING))
+                         / (sum(n) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING)), 6) AS prec_r,
+                   round((sum(pos) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING))
+                         / (sum(pos) OVER ()), 6) AS rec_r,
+                   round(CASE WHEN (sum(pos) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING))
+                                   / (sum(n) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING))
+                                 + (sum(pos) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING))
+                                   / (sum(pos) OVER ()) > 0
+                         THEN 2 * ((sum(pos) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING))
+                                   / (sum(n) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING)))
+                                * ((sum(pos) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING))
+                                   / (sum(pos) OVER ()))
+                              / (((sum(pos) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING))
+                                   / (sum(n) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING)))
+                                 + ((sum(pos) OVER (ORDER BY bkt DESC ROWS UNBOUNDED PRECEDING))
+                                   / (sum(pos) OVER ())))
+                         ELSE 0.0 END, 6) AS f1_r
+            FROM agg
+        """,
+        "stratified_split": SQL_SCORED + f"""
+            , lab AS (
+              SELECT CASE WHEN (a_id * 2654435761 + b_id * 97) % 4294967296 % 100 < 60 THEN 'train'
+                          WHEN (a_id * 2654435761 + b_id * 97) % 4294967296 % 100 < 80 THEN 'valid'
+                          ELSE 'test' END AS split,
+                     {label_int} AS label
+              FROM scored
+            )
+            SELECT split, label, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM lab GROUP BY split, label
+        """,
+        "connected_components": SQL_SCORED.replace("WITH tk AS", "WITH RECURSIVE tk AS", 1) + f"""
+            , edges AS (
+              SELECT a_id AS u, b_id AS v FROM scored WHERE sim_r >= {CC_THRESHOLD}
+            ), sym AS (
+              SELECT u, v FROM edges UNION SELECT v, u FROM edges
+            ), nodes AS (
+              SELECT DISTINCT u AS node FROM sym
+            ), reach(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node
+            )
+            SELECT CAST(node AS BIGINT) AS node, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "canonicalize_events": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   md5(string_agg(props, ' ' ORDER BY event_id)) AS agvalue_md5,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS first_ts_epoch
+            FROM events GROUP BY user_id
+        """,
+        "sessionize_events": """
+            WITH e AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(event_id AS BIGINT) AS event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+              FROM events
+            ), flagged AS (
+              SELECT user_id, event_id, ts_s,
+                     CASE WHEN lag(ts_s) OVER w IS NULL
+                               OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+            ), sess AS (
+              SELECT user_id,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS s
+              FROM flagged
+            ), per AS (
+              SELECT user_id, s, count(*) AS n FROM sess GROUP BY user_id, s
+            )
+            SELECT user_id, CAST(max(s) AS BIGINT) AS n_sessions,
+                   CAST(max(n) AS BIGINT) AS max_session_events
+            FROM per GROUP BY user_id
+        """,
+        "dedup_exact_groups": """
+            SELECT md5(text) AS text_md5,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS canonical_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "dedup_exact_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+            FROM documents
+        """,
+        "dedup_shingle_jaccard": f"""
+            WITH tk AS (
+              SELECT CAST(doc_id AS BIGINT) AS id, {TOKS_DUCK} AS ts FROM documents
+            ), shd AS (
+              SELECT id, {BIGRAMS_DUCK} AS s FROM tk
+            ), p AS (
+              SELECT id, len(s) AS sz, unnest(s) AS g FROM shd
+            ), pr AS (
+              SELECT pa.id AS a_id, pb.id AS b_id,
+                     CAST(count(*) AS BIGINT) AS overlap,
+                     any_value(pa.sz) AS a_sz, any_value(pb.sz) AS b_sz
+              FROM p pa JOIN p pb ON pa.g = pb.g AND pa.id < pb.id
+              GROUP BY pa.id, pb.id
+            )
+            SELECT a_id, b_id, round(overlap / (a_sz + b_sz - overlap), 6) AS sim_r
+            FROM pr WHERE round(overlap / (a_sz + b_sz - overlap), 6) >= 0.6
+        """,
+        "simhash": simhash_duckdb_sql("text"),
+        "doc_fingerprints": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST({doc_fingerprint_duckdb('text')} AS BIGINT) AS fp
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH e AS (
+              SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v FROM embeddings
+            ), scored AS (
+              SELECT q.id AS query_id, c.id AS nbr_id,
+                     round(CASE WHEN list_dot_product(q.v, q.v) > 0
+                                     AND list_dot_product(c.v, c.v) > 0
+                                THEN list_cosine_similarity(q.v, c.v) ELSE 0.0 END, 4) AS sim_r
+              FROM e q JOIN e c ON q.id <> c.id
+            )
+            SELECT query_id, nbr_id, sim_r FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, nbr_id) AS rk
+              FROM scored
+            ) WHERE rk <= 5
+        """,
+        "embedding_neardup": """
+            WITH e AS (
+              SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v FROM embeddings
+            )
+            SELECT a.id AS a_id, b.id AS b_id,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS sim_r
+            FROM e a JOIN e b ON a.id < b.id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+        """,
+        "lang_id": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {lang_id_duckdb('text')} AS pred_lang
+            FROM documents
+        """,
+        "quality_scores": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {QUALITY_DUCKDB['n_chars'].format(c='text')} AS n_chars_q,
+                   {QUALITY_DUCKDB['n_tokens'].format(c='text')} AS n_tokens_q,
+                   round({QUALITY_DUCKDB['mean_tok_len'].format(c='text')}, 6) AS mean_tok_len_r,
+                   round({QUALITY_DUCKDB['alnum_ratio'].format(c='text')}, 6) AS alnum_ratio_r
+            FROM documents
+        """,
+        "token_counts": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {TOKEN_COUNTS_DUCKDB['n_ws_tokens'].format(c='text')} AS n_ws_tokens,
+                   {TOKEN_COUNTS_DUCKDB['n_bpe_tokens'].format(c='text')} AS n_bpe_tokens
+            FROM documents
+        """,
+        "binary_meta": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+                        ELSE list_sum(list_transform(range(1, 1 + length(coalesce(text, ''))),
+                                                     i -> ascii(substr(coalesce(text, ''), i, 1))))
+                        END AS BIGINT) AS byte_sum,
+                   CASE WHEN octet_length(encode(coalesce(text, ''))) = 0 THEN 'empty'
+                        WHEN octet_length(encode(coalesce(text, ''))) < 256 THEN 'small'
+                        ELSE 'large' END AS content_tag
+            FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   round(avg(l_discount), 6) AS avg_disc_r,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers_per_nation": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                     CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY o_custkey
+            ), j AS (
+              SELECT n.n_name, c.c_custkey, rev.revenue, rev.n_orders
+              FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+                       JOIN nation n ON c.c_nationkey = n.n_nationkey
+            )
+            SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, revenue, n_orders,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rk
+              FROM j
+            ) WHERE rk <= 3
+        """,
+        "customers_without_orders": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "set_ops_users": """
+            SELECT CAST(user_id AS BIGINT) AS user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT CAST(user_id AS BIGINT) AS user_id FROM events WHERE event_type = 'error'
+        """,
+        "value_histogram": """
+            SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "kl_divergence": """
+            WITH cnts AS (
+              SELECT CAST(least(floor(value / 20), 19) AS BIGINT) AS bucket, event_type,
+                     count(*) AS cnt
+              FROM events WHERE event_type IN ('purchase', 'click')
+              GROUP BY 1, 2
+            ), grid AS (
+              SELECT unnest(range(0, 20)) AS bucket
+            ), joined AS (
+              SELECT g.bucket,
+                     coalesce((SELECT cnt FROM cnts WHERE cnts.bucket = g.bucket AND event_type = 'purchase'), 0) AS pc,
+                     coalesce((SELECT cnt FROM cnts WHERE cnts.bucket = g.bucket AND event_type = 'click'), 0) AS qc
+              FROM grid g
+            ), tot AS (
+              SELECT sum(pc) AS np, sum(qc) AS nq FROM joined
+            )
+            SELECT round(sum(((pc + 1) / CAST(np + 20 AS DOUBLE))
+                             * ln(((pc + 1) / CAST(np + 20 AS DOUBLE))
+                                  / ((qc + 1) / CAST(nq + 20 AS DOUBLE)))), 6) AS kl_r,
+                   CAST(any_value(np) AS BIGINT) AS n_p,
+                   CAST(any_value(nq) AS BIGINT) AS n_q
+            FROM joined, tot
+        """,
+    }

@@ -130,6 +130,43 @@ def qgrams(col: Column | str, q: int = 3, multiset: bool = False) -> Column:
     return grams if multiset else F.array_distinct(grams)
 
 
+# --- word n-gram shingles (the blocking token for repetitive corpora) ------
+# Spark SQL array indexing is 0-based; DuckDB list indexing is 1-based —
+# both expressions below emit exactly size-1 bigrams / size-2 trigrams.
+SPARK_TOKENS_SQL = "filter(split(lower(coalesce({col}, '')), '[^a-z0-9]+'), t -> t != '')"
+DUCKDB_TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(lower(coalesce({col}, '')), '[^a-z0-9]+'), t -> t <> '')"
+)
+SPARK_BIGRAMS_SQL = (
+    "array_distinct(if(size({ts}) < 2, slice({ts}, 1, 0), "
+    "transform(sequence(1, size({ts}) - 1), i -> concat({ts}[i-1], ' ', {ts}[i]))))"
+)
+DUCKDB_BIGRAMS_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len({ts}), 1)), "
+    "i -> {ts}[i] || ' ' || {ts}[i+1]))"
+)
+SPARK_TRIGRAMS_SQL = (
+    "array_distinct(if(size({ts}) < 3, slice({ts}, 1, 0), "
+    "transform(sequence(1, size({ts}) - 2), i -> concat({ts}[i-1], ' ', {ts}[i], ' ', {ts}[i+1]))))"
+)
+DUCKDB_TRIGRAMS_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len({ts}) - 1, 1)), "
+    "i -> {ts}[i] || ' ' || {ts}[i+1] || ' ' || {ts}[i+2]))"
+)
+
+
+def word_shingles(text_col: str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a text column (n ∈ {2, 3}).
+
+    The standard MinHash shingling unit: for corpora with small
+    vocabularies (agent transcripts, log-like text) unigram token sets are
+    near-identical across documents, so blocking/dedup tokens must be
+    shingles to stay selective."""
+    toks = SPARK_TOKENS_SQL.format(col=text_col)
+    tpl = {2: SPARK_BIGRAMS_SQL, 3: SPARK_TRIGRAMS_SQL}[n]
+    return F.expr(tpl.format(ts=toks))
+
+
 def duckdb_qgrams_sql(col: str, q: int = 3, multiset: bool = False) -> str:
     """DuckDB expression mirroring :func:`qgrams` (for oracle_sql)."""
     norm = DUCKDB_NORM.format(col=col)

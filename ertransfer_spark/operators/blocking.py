@@ -152,7 +152,10 @@ def minhash_signature(tokens_col, n_hashes: int = 64):
     """Native minhash signature: sig[j] = min over tokens of hash(token, j).
 
     Uses Spark's murmur3 ``F.hash`` with the permutation index mixed in —
-    entirely JVM-side, no UDF, no Spark-ML VectorUDT detour."""
+    entirely JVM-side, no UDF, no Spark-ML VectorUDT detour. NOTE: only for
+    small/derived columns — the join below uses the columnar-aggregate form
+    instead (nested transform trees blow up codegen when a downstream
+    posexplode duplicates them per band)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda j: F.array_min(F.transform(tokens_col, lambda t: F.hash(t, j))),
@@ -176,30 +179,37 @@ def minhash_lsh_join(
     extra candidates are cheap because verification is exact, so precision
     is 1 wrt ``min_jaccard`` and only recall depends on the banding).
 
-    Shuffles: one on (band_idx, band_hash) (the bucket join), one on the
-    verify join key. Bucket skew (many records sharing a band hash) is the
-    LSH analog of a hot token; AQE skew-join splits it.
+    Signature computation is the columnar-aggregate form: explode tokens
+    ONCE, then n_hashes partial-aggregable ``min(hash(token, j))`` columns
+    in a single groupBy — one pass over postings, map-side combined, no
+    nested-lambda expression tree (which codegen would otherwise duplicate
+    per band slice).
+
+    Shuffles: one on id (the signature agg), one on (band_idx, band_hash)
+    (the bucket join), one on the verify join key. Bucket skew (many
+    records sharing a band hash) is the LSH analog of a hot token; AQE
+    skew-join splits it. Records with empty token sets produce no
+    signature and no candidates.
     """
     rows = n_hashes // bands
 
     def banded(records: DataFrame, side: str) -> DataFrame:
-        sig = minhash_signature(F.col(tokens_col), n_hashes)
-        return (
-            records.select(F.col(id_col).alias(f"{side}_id"), sig.alias("sig"))
-            .select(
-                f"{side}_id",
-                F.posexplode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(bands - 1)),
-                        lambda b: F.slice(F.col("sig"), b * rows + 1, rows),
-                    )
-                ).alias("band_idx", "band"),
-            )
-            .select(f"{side}_id", "band_idx", F.hash("band").alias("band_hash"))
+        posts = records.select(
+            F.col(id_col).alias(f"{side}_id"), F.explode(tokens_col).alias("tok")
+        )
+        sig = posts.groupBy(f"{side}_id").agg(
+            *[F.min(F.hash("tok", F.lit(j))).alias(f"h{j}") for j in range(n_hashes)]
+        )
+        band_cols = [
+            F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)]) for b in range(bands)
+        ]
+        return sig.select(
+            f"{side}_id",
+            F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
         )
 
     ba = banded(records_a, "a")
-    bb = banded(records_b, "b") if not self_join else banded(records_b, "b")
+    bb = banded(records_b, "b")
     cand = ba.join(bb, ["band_idx", "band_hash"]).select("a_id", "b_id")
     if self_join:
         cand = cand.filter(F.col("a_id") < F.col("b_id"))

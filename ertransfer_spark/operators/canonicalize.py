@@ -47,9 +47,15 @@ def canonicalize(
         "agValue",
         F.array_join(F.transform(F.col("turns"), lambda t: clean_text(t["text"])), " "),
     )
+    from ertransfer_spark.functions.text import SPARK_BIGRAMS_SQL
+
     rec = (
         rec.withColumn("tokens", tokens(F.col("agValue")))
         .withColumn("token_set", distinct_tokens(F.col("agValue")))
+        # word-bigram shingles: the selective blocking token for
+        # small-vocabulary corpora (transcripts/logs) where unigram sets
+        # are near-identical across conversations
+        .withColumn("shingle_set", F.expr(SPARK_BIGRAMS_SQL.format(ts="tokens")))
         .withColumn("n_tokens", F.size(F.col("tokens")))
     )
     if not keep_turns:

@@ -1,0 +1,213 @@
+"""Document deduplication operators — the training-data-pipeline extension
+of the ER core (same candidate-generation machinery as blocking.py, applied
+to a single corpus instead of an A/B pair).
+
+Reference precedent: the blocking stage IS near-dup detection
+(/root/reference/splitters/KNN-Join/splitter.py:72-91 keeps top-K similar
+pairs; /root/reference/splitters/random-split/merger.py:34 drop_duplicates
+is the exact-dup case). Here each flavor is a standalone operator:
+
+- exact:   hash-groupBy on the full text digest — one shuffle, no joins.
+- n-gram:  character-q-gram Jaccard self-join (explode → equi-join →
+           overlap agg), df-pruned so a hot gram cannot explode the join.
+- minhash: JVM-native MinHash+LSH banding (blocking.minhash_lsh_join) —
+           the 100 TB path: candidates ∝ true near-dups, not |corpus|².
+- simhash: 32-bit SimHash fingerprint from a pinned polynomial token hash
+           (portable: the same hash is expressible in any engine, so the
+           DuckDB oracle can verify it bit-for-bit).
+
+All pure Column expressions except nothing — zero Python in any of these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ertransfer_spark.functions.text import normalize, qgrams, tokens
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups → (text_md5, n_docs, canonical_id).
+
+    One map-side-combinable groupBy on the digest; canonical doc =
+    min id (deterministic). Only groups with >1 member are returned.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).cast("long").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level dup accounting → 1 row (n_docs, n_distinct, n_dup_docs)."""
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.md5(F.col(text_col))).cast("long").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5(F.col(text_col))))
+        .cast("long")
+        .alias("n_dup_docs"),
+    )
+
+
+def ngram_jaccard_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int = 50,
+) -> DataFrame:
+    """Near-dup pairs by character-q-gram Jaccard → (a_id, b_id, sim_r).
+
+    Self-join semantics: a_id < b_id. ``max_gram_df`` drops grams shared by
+    more than that many docs *before* the pair join — the per-block budget
+    that keeps a stop-gram from generating df² candidates (north-rule skew
+    control). Jaccard uses the FULL gram-set sizes, so pruning only lowers
+    recall for pairs whose entire overlap is hot grams (none, at any
+    sensible threshold).
+    """
+    g = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        qgrams(F.col(text_col), q=q).alias("grams"),
+    ).withColumn("sz", F.size("grams"))
+    posts = g.select("id", "sz", F.explode("grams").alias("gram"))
+    dfreq = posts.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfreq.filter(F.col("df") <= max_gram_df).select("gram")
+    posts = posts.join(F.broadcast(keep), "gram")
+    left = posts.select(
+        F.col("id").alias("a_id"), F.col("sz").alias("a_sz"), "gram"
+    )
+    right = posts.select(
+        F.col("id").alias("b_id"), F.col("sz").alias("b_sz"), "gram"
+    )
+    pairs = (
+        left.join(right, "gram")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("overlap"),
+            F.first("a_sz").alias("a_sz"),
+            F.first("b_sz").alias("b_sz"),
+        )
+    )
+    sim = F.col("overlap") / (F.col("a_sz") + F.col("b_sz") - F.col("overlap"))
+    return (
+        pairs.withColumn("sim_r", F.round(sim, 6))
+        .filter(F.col("sim_r") >= threshold)
+        .select("a_id", "b_id", "sim_r")
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 96,
+    bands: int = 32,
+    min_jaccard: float = 0.5,
+    shingle: int = 2,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs → (a_id, b_id, sim_r), a_id < b_id.
+
+    Delegates to blocking.minhash_lsh_join in self-join mode: JVM murmur3
+    signatures, banding bucket-join, exact-jaccard verification. The scale
+    path — shuffle width is O(docs × bands), candidates only where bands
+    collide. Non-portable hash → verified by the rows-only driver check
+    plus the engine-side property test (recall vs ngram_jaccard_dedup).
+
+    ``shingle``: word n-gram size for the token set (1 = raw tokens).
+    Shingles ≥2 are essential on small-vocabulary corpora where unigram
+    sets are near-identical across documents.
+    """
+    from ertransfer_spark.functions.text import word_shingles
+    from ertransfer_spark.operators.blocking import minhash_lsh_join
+
+    tok = (
+        F.array_distinct(tokens(F.col(text_col)))
+        if shingle <= 1
+        else word_shingles(text_col, n=shingle)
+    )
+    recs = docs.select(F.col(id_col).cast("long").alias("id"), tok.alias("token_set"))
+    out = minhash_lsh_join(
+        recs,
+        recs,
+        id_col="id",
+        tokens_col="token_set",
+        n_hashes=n_hashes,
+        bands=bands,
+        min_jaccard=min_jaccard,
+        self_join=True,
+    )
+    return out.select("a_id", "b_id", F.round("sim", 6).alias("sim_r"))
+
+
+# --------------------------------------------------------------------------
+# SimHash — portable 32-bit fingerprint
+# --------------------------------------------------------------------------
+
+# Pinned polynomial token hash: h = fold over chars of (h*31 + ascii) mod M,
+# seeded 7. Expressible identically in Spark SQL and DuckDB (ascii/substr/
+# aggregate vs list_reduce), which is what makes the oracle exact.
+_HASH_MOD = 2147483647
+
+
+def _token_hash_expr(tok: str) -> str:
+    return (
+        f"aggregate(sequence(1, length({tok})), 7L, "
+        f"(h, i) -> (h * 31 + ascii(substring({tok}, i, 1))) % {_HASH_MOD}L)"
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash32) — portable SimHash over distinct tokens."""
+    th = _token_hash_expr("t")
+    expr = f"""
+      aggregate(
+        sequence(0, 31),
+        0L,
+        (acc, b) -> acc + (case when
+            aggregate(hs, 0L,
+              (s, h) -> s + ((h div cast(pow(2, b) as long)) % 2) * 2 - 1
+            ) > 0 then cast(pow(2, b) as long) else 0L end)
+      )
+    """
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+        )
+        .withColumn("hs", F.expr(f"transform(toks, t -> {th})"))
+        .select("doc_id", F.expr(expr).alias("simhash32"))
+    )
+
+
+def simhash_duckdb_sql(text_col: str, id_col: str = "doc_id", table: str = "documents") -> str:
+    """DuckDB query mirroring :func:`simhash` bit-for-bit."""
+    from ertransfer_spark.functions.text import DUCKDB_TOKENS
+
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    th = (
+        "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        "list_transform(range(1, 1 + length(t)), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))), "
+        f"(h, c) -> (h * 31 + c) % {_HASH_MOD})"
+    )
+    return f"""
+      WITH toks AS (
+        SELECT CAST({id_col} AS BIGINT) AS doc_id,
+               list_distinct({toks}) AS ts
+        FROM {table}
+      ), hashed AS (
+        SELECT doc_id, list_transform(ts, t -> {th}) AS hs FROM toks
+      )
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN list_sum(list_transform(hs, h ->
+                      ((h // CAST(pow(2, b) AS BIGINT)) % 2) * 2 - 1)) > 0
+                    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash32
+      FROM hashed
+    """

@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference precedent: DeepBlocker's exact top-K vector pairing
+(/root/reference/splitters/DeepBlocker/splitter.py:62-73, dense cosine
+matmul) and the sentence-BERT similarity scorer
+(/root/reference/methods/embeddings/get_similarity.py:4-10).
+
+Two paths, same contract (query_id, nbr_id, sim_r):
+
+- brute_force_topk — exact baseline. Broadcast the (small) query side,
+  cross-join against the corpus, cosine as a native zip_with/aggregate
+  expression, per-query top-k window. Wall cost O(|Q|·|corpus|·d) spread
+  across executors; correct at any scale where |Q| is bounded.
+- lsh_topk — the scale path: random-hyperplane LSH. Each vector is
+  bucketed by the sign pattern of `n_planes` fixed pseudo-random
+  hyperplanes (deterministic, seeded, generated JVM-side from
+  hash(dim_index, plane, seed) — no Python, no model file). Candidates
+  share a bucket in ≥1 of `n_tables` tables; exact cosine re-rank after.
+  Shuffle width O(vectors × tables), candidates ∝ collisions.
+
+Ranking uses ROUNDED similarity (6 dp) with id tie-break so ordering is
+reproducible across engines and float-summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(vec_col)
+    return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k → (query_id, nbr_id, sim_r).
+
+    Self-matches (same id) are excluded. The query side is broadcast —
+    callers bound |Q| (e.g. a sampled probe set); the corpus streams.
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("qv"), F.col("_norm").alias("qn")
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
+    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(F.when((F.col("qn") > 0) & (F.col("cn") > 0), sim).otherwise(F.lit(0.0)), round_dp).alias("sim_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """All pairs (a_id < b_id) with cosine ≥ threshold → (a_id, b_id, sim_r).
+
+    Exact (cross-join) — callers restrict the input to a bounded subset or
+    use lsh_topk for web scale."""
+    a = with_norm(vectors, vec_col).select(
+        F.col(id_col).alias("a_id"), F.col("_v").alias("av"), F.col("_norm").alias("an")
+    )
+    b = with_norm(vectors, vec_col).select(
+        F.col(id_col).alias("b_id"), F.col("_v").alias("bv"), F.col("_norm").alias("bn")
+    )
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.when((F.col("an") > 0) & (F.col("bn") > 0), sim).otherwise(F.lit(0.0)), round_dp).alias("sim_r"),
+        )
+        .filter(F.col("sim_r") >= threshold)
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, seed: int) -> Column:
+    """sign(v · h_plane) where h_plane[i] = deterministic pseudo-random ±/value
+    from murmur3(i, plane, seed), scaled to [-1, 1]. Pure JVM expression."""
+    weighted = F.zip_with(
+        vec,
+        F.transform(
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda i: (F.hash(i, F.lit(plane), F.lit(seed)).cast("double") / F.lit(2147483647.0)),
+        ),
+        lambda x, h: x * h,
+    )
+    return (F.aggregate(weighted, F.lit(0.0), lambda a, v: a + v) > 0).cast("int")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN → (query_id, nbr_id, sim_r), approximate.
+
+    Bucket key per table = the n_planes sign bits; candidates = bucket
+    collisions in any table (distinct), then exact cosine re-rank. At 100 TB
+    the bucket join replaces the cross join: cost ∝ collisions, and AQE
+    skew-join splits hot buckets.
+    """
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        v = _as_double(vec_col)
+        out = df.select(F.col(id_col).alias(f"{side}_id"), v.alias("_v"))
+        tables = []
+        for t in range(n_tables):
+            bits = [
+                _hyperplane_sign(F.col("_v"), t * n_planes + p, seed) for p in range(n_planes)
+            ]
+            key = F.concat_ws("", *[b.cast("string") for b in bits])
+            tables.append(
+                out.select(
+                    f"{side}_id", F.lit(t).alias("tbl"), key.alias("bucket")
+                )
+            )
+        res = tables[0]
+        for x in tables[1:]:
+            res = res.unionByName(x)
+        return res
+
+    bq = bucketed(queries, "q")
+    bc = bucketed(corpus, "c")
+    cand = (
+        bq.join(bc, ["tbl", "bucket"])
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("nbr_id"))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .distinct()
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("qv"), F.col("_norm").alias("qn")
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
+    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "nbr_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(F.when((F.col("qn") > 0) & (F.col("cn") > 0), sim).otherwise(F.lit(0.0)), round_dp).alias("sim_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -46,6 +46,7 @@ from ertransfer_spark.sources.catalog import SnapshotCatalog
 class PipelineConfig:
     k: int = 5
     metric: str = "jaccard"
+    tokens_col: str = "shingle_set"  # blocking token column from canonicalize
     max_token_df: int | None = None
     posting_budget: int | None = None
     min_sim: float = 0.0
@@ -107,12 +108,12 @@ class ERPipeline:
 
         def _block():
             cand = top_k_token_join(
-                ra, rb, k=cfg.k, metric=cfg.metric,
+                ra, rb, k=cfg.k, metric=cfg.metric, tokens_col=cfg.tokens_col,
                 max_token_df=cfg.max_token_df, posting_budget=cfg.posting_budget,
                 min_sim=cfg.min_sim,
             )
             # per-block lineage from the token-frequency histogram
-            hist = block_histogram(ra).collect()
+            hist = block_histogram(ra, tokens_col=cfg.tokens_col).collect()
             lineage = [
                 {
                     "block_key": f"df<={r['df_bucket']}",

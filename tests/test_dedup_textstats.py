@@ -1,0 +1,160 @@
+"""Tests for the dedup suite, text analysis, similarity search, and
+multimodal plumbing (the training-data-pipeline operators)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),      # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog", "en"),      # near dup of 0
+        (3, "der schnelle braune fuchs und der faule hund ist nicht da", "de"),
+        (4, "completely unrelated text about spark shuffle partitions", "en"),
+        (5, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    from ertransfer_spark.operators.dedup import exact_dedup, exact_dedup_stats
+
+    groups = exact_dedup(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["canonical_id"] == 0
+
+    stats = exact_dedup_stats(docs).collect()[0]
+    assert stats["n_docs"] == 6 and stats["n_distinct"] == 5 and stats["n_dup_docs"] == 1
+
+
+def test_ngram_jaccard_dedup_finds_near_dup(spark, docs):
+    from ertransfer_spark.operators.dedup import ngram_jaccard_dedup
+
+    pairs = {(r["a_id"], r["b_id"]): r["sim_r"] for r in ngram_jaccard_dedup(
+        docs, threshold=0.5, max_gram_df=10
+    ).collect()}
+    assert pairs[(0, 1)] == 1.0            # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # near dup
+    assert all(a < b for a, b in pairs)    # canonical orientation
+
+
+def test_minhash_dedup_recall_vs_exact(spark, docs):
+    """MinHash-LSH must recover every exact-jaccard pair ≥ its threshold
+    (high banding collision prob at 0.5) — the engine-side check for the
+    non-SQL-expressible operator."""
+    from ertransfer_spark.operators.dedup import minhash_dedup
+
+    got = {(r["a_id"], r["b_id"]) for r in minhash_dedup(docs, min_jaccard=0.5).collect()}
+    assert (0, 1) in got
+    # verification step guarantees precision wrt the threshold
+    for r in minhash_dedup(docs, min_jaccard=0.5).collect():
+        assert r["sim_r"] >= 0.5
+
+
+def test_simhash_near_dups_close(spark, docs):
+    from ertransfer_spark.operators.dedup import simhash
+
+    sh = {r["doc_id"]: r["simhash32"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text → identical fingerprint
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far  # near dup closer than unrelated text
+
+
+def test_lang_id(spark, docs):
+    from ertransfer_spark.functions.textstats import lang_id
+
+    out = {r["doc_id"]: r["pred"] for r in docs.select(
+        "doc_id", lang_id("text").alias("pred")
+    ).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[5] == "und"
+
+
+def test_quality_and_token_counts(spark, docs):
+    from ertransfer_spark.functions.textstats import quality_features, token_counts
+
+    qf = quality_features("text")
+    tc = token_counts("text")
+    row = docs.filter("doc_id = 0").select(
+        qf["n_tokens"].alias("nt"), qf["mean_tok_len"].alias("mtl"),
+        tc["n_ws_tokens"].alias("ws"), tc["n_bpe_tokens"].alias("bpe"),
+    ).collect()[0]
+    assert row["nt"] == 9 and row["ws"] == 9
+    assert row["bpe"] == 9  # no punctuation → same as word count
+    assert abs(row["mtl"] - (35 / 9)) < 1e-9
+
+
+def test_doc_fingerprint_deterministic(spark, docs):
+    from ertransfer_spark.functions.textstats import doc_fingerprint
+
+    fp = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", doc_fingerprint("text").alias("fp")
+    ).collect()}
+    assert fp[0] == fp[1] != fp[2]
+    assert fp[5] == 7  # empty → seed
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(20):
+        angle = (i % 5) * 0.5  # 5 direction groups, 4 members each
+        rows.append((i, [math.cos(angle), math.sin(angle), float(i % 5) * 0.01]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(spark, vectors):
+    from ertransfer_spark.operators.simsearch import brute_force_topk
+
+    out = brute_force_topk(vectors, vectors, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 3 for v in by_q.values())
+    # same-direction vectors are each other's top neighbors
+    top = sorted(by_q[0], key=lambda r: -r["sim_r"])[0]
+    assert top["nbr_id"] in (5, 10, 15)
+    assert top["sim_r"] == 1.0
+
+
+def test_lsh_topk_recall(spark, vectors):
+    """LSH must recover the exact top-1 for most queries on this easy set."""
+    from ertransfer_spark.operators.simsearch import brute_force_topk, lsh_topk
+
+    exact = {r["query_id"]: r["nbr_id"] for r in brute_force_topk(vectors, vectors, k=1).collect()}
+    approx = lsh_topk(vectors, vectors, k=1, n_planes=4, n_tables=8).collect()
+    got = {r["query_id"]: r["nbr_id"] for r in approx}
+    hits = sum(1 for q, n in exact.items() if got.get(q) == n)
+    assert hits >= len(exact) * 0.8
+
+
+def test_binary_meta_and_fake_decode(spark, docs):
+    from ertransfer_spark.operators.multimodal import binary_meta, fake_decode
+
+    meta = {r["doc_id"]: r for r in binary_meta(docs).collect()}
+    assert meta[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert meta[0]["byte_sum"] == sum(b"the quick brown fox jumps over the lazy dog")
+    assert meta[5]["content_tag"] == "empty"
+
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    feats = {r["doc_id"]: r for r in fake_decode(blobs, dim=4).collect()}
+    assert len(feats[0]["features"]) == 4
+    assert feats[0]["width"] == meta[0]["n_bytes"]
+    assert feats[0]["features"] == feats[1]["features"]  # deterministic
+
+
+def test_decode_image_is_stub(spark, docs):
+    from ertransfer_spark.operators.multimodal import decode_image
+
+    blobs = docs.limit(1).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        decode_image(blobs).collect()
