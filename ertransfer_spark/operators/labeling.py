@@ -77,6 +77,58 @@ def stratified_split(
     }
 
 
+def all_negative_pairs(
+    records_a: DataFrame,
+    records_b: DataFrame,
+    matches: DataFrame,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """J6: exhaustive negatives — full cross product minus golden matches
+    (splitters/random-split/splitter.py:30-33, neg_pairs_limit == -1).
+    Cross join: tiny fixtures only; the scale path is :func:`sample_negative_pairs`."""
+    a = records_a.select(F.col(id_col).alias("a_id"))
+    b = records_b.select(F.col(id_col).alias("b_id"))
+    m = matches.select(
+        F.col(matches.columns[0]).alias("a_id"), F.col(matches.columns[1]).alias("b_id")
+    )
+    return a.crossJoin(b).join(m, ["a_id", "b_id"], "left_anti")
+
+
+def sample_negative_pairs(
+    records_a: DataFrame,
+    records_b: DataFrame,
+    matches: DataFrame,
+    n: int,
+    seed: int = 42,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """J7: random negative sampling as a loop-free anti-join
+    (splitters/random-split/splitter.py:35-49 rejection-samples one pair at
+    a time; here: oversample both sides with F.rand(seed), zip by
+    row_number, anti-join the golden set, limit(n)). Deterministic under a
+    fixed seed and input set (order-independence comes from sorting by a
+    seeded hash, not by input row position)."""
+    over = int(n * 1.5) + 16
+    a = (
+        records_a.select(F.col(id_col).alias("a_id"))
+        .orderBy(F.xxhash64(id_col, F.lit(seed)))
+        .limit(over)
+        .withColumn("_r", F.row_number().over(Window.orderBy(F.xxhash64("a_id", F.lit(seed)))))
+    )
+    b = (
+        records_b.select(F.col(id_col).alias("b_id"))
+        .orderBy(F.xxhash64(id_col, F.lit(seed + 1)))
+        .limit(over)
+        .withColumn("_r", F.row_number().over(Window.orderBy(F.xxhash64("b_id", F.lit(seed + 1)))))
+    )
+    m = matches.select(
+        F.col(matches.columns[0]).alias("a_id"), F.col(matches.columns[1]).alias("b_id")
+    )
+    return (
+        a.join(b, "_r").drop("_r").join(m, ["a_id", "b_id"], "left_anti").limit(n)
+    )
+
+
 def split_statistics(splits: dict[str, DataFrame], n_golden: int) -> DataFrame:
     """Per-split counts / positives / precision / recall — the
     split_statistics.txt analog (splitters/KNN-Join/splitter.py:105-110,

@@ -66,24 +66,62 @@ def train_matcher(
     algorithm: str = "logreg",
     label_col: str = "label",
     seed: int = 42,
+    impute: bool = False,
+    standardize: bool = False,
 ):
-    """Fit LR or GBT on the feature columns. Returns the fitted PipelineModel."""
+    """Fit LR or GBT on the feature columns. Returns the fitted PipelineModel.
+
+    ``impute``: train-fit mean imputation (A8 parity — Magellan replaces
+    NaN features by train-set column means and reuses them at test time,
+    methods/magellan/entrypoint.py:92-98).
+    ``standardize``: train-fit StandardScaler (A9 parity,
+    methods/magellan/entrypoint.py:100-113). Both fit on the TRAIN split
+    only and are baked into the returned PipelineModel, so scoring any
+    other split reuses the train statistics exactly like the reference.
+    """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import GBTClassifier, LogisticRegression
-    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.feature import Imputer, StandardScaler, VectorAssembler
 
-    assembler = VectorAssembler(inputCols=FEATURES, outputCol="features", handleInvalid="keep")
+    stages = []
+    feat_cols = FEATURES
+    if impute:
+        imputed = [f"{c}_imp" for c in FEATURES]
+        stages.append(Imputer(strategy="mean", inputCols=FEATURES, outputCols=imputed))
+        feat_cols = imputed
+    stages.append(
+        VectorAssembler(inputCols=feat_cols, outputCol="_raw_features", handleInvalid="keep")
+    )
+    features_col = "_raw_features"
+    if standardize:
+        stages.append(
+            StandardScaler(inputCol="_raw_features", outputCol="features", withMean=True, withStd=True)
+        )
+        features_col = "features"
     if algorithm == "logreg":
         clf = LogisticRegression(
-            featuresCol="features", labelCol=label_col, maxIter=100, regParam=1e-4
+            featuresCol=features_col, labelCol=label_col, maxIter=100, regParam=1e-4
         )
     elif algorithm == "gbt":
         clf = GBTClassifier(
-            featuresCol="features", labelCol=label_col, maxIter=40, maxDepth=4, seed=seed
+            featuresCol=features_col, labelCol=label_col, maxIter=40, maxDepth=4, seed=seed
         )
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    return Pipeline(stages=[assembler, clf]).fit(featurized_train)
+    stages.append(clf)
+    return Pipeline(stages=stages).fit(featurized_train)
+
+
+def kmeans_probs(preds: DataFrame, k: int = 2, prob_col: str = "prob_class1", seed: int = 42) -> DataFrame:
+    """M6 diagnostic: KMeans over the probability column
+    (clustering/Probabilities/sklearn_clusters.py:3-28) → + kmeans_cluster."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    va = VectorAssembler(inputCols=[prob_col], outputCol="_kf")
+    km = KMeans(k=k, seed=seed, featuresCol="_kf", predictionCol="kmeans_cluster")
+    assembled = va.transform(preds)
+    return km.fit(assembled).transform(assembled).drop("_kf")
 
 
 def score(model, featurized: DataFrame, keep_cols: tuple = ("a_id", "b_id", "label")) -> DataFrame:

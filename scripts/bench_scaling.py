@@ -1,0 +1,73 @@
+"""Two-cluster-size scaling evidence (north rule: throughput scaling
+efficiency ≥ 0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so per the driver's instruction the
+same job runs at two parallelism levels — local[8] and local[32] — on the
+same deterministic input, in fresh processes (fresh JVM each, since a
+local[N] master is fixed at session start). Efficiency =
+(T_32 / T_8) / (32 / 8). Results are appended to BENCH.md.
+
+Usage: python scripts/bench_scaling.py [n_conv] [n_runs]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_once(cpus: int, n_conv: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "scaling_worker.py"), str(cpus), str(n_conv)],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=str(REPO),
+        timeout=3000,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    results = {8: [], 32: []}
+    for _ in range(n_runs):
+        for cpus in (8, 32):
+            r = run_once(cpus, n_conv)
+            results[cpus].append(r)
+            print(json.dumps(r))
+
+    best8 = max(results[8], key=lambda r: r["turns_per_sec"])
+    best32 = max(results[32], key=lambda r: r["turns_per_sec"])
+    eff = (best32["turns_per_sec"] / best8["turns_per_sec"]) / (32 / 8)
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+
+    block = f"""
+## Scaling run {stamp} (n_conv={n_conv}, best of {n_runs})
+
+| parallelism | wall s | turns/sec | scored pairs/sec | F1 |
+| --- | --- | --- | --- | --- |
+| local[8]  | {best8['wall_s']} | {best8['turns_per_sec']} | {best8['pairs_per_sec']} | {best8['f1']} |
+| local[32] | {best32['wall_s']} | {best32['turns_per_sec']} | {best32['pairs_per_sec']} | {best32['f1']} |
+
+**Scaling efficiency (N=8 → 4N=32): {eff:.3f}** (target ≥ 0.8; same input,
+same code path, fresh JVM per level — the in-sandbox proxy for N vs 4N
+executors mandated by the driver instructions).
+"""
+    bench_md = REPO / "BENCH.md"
+    header = "# BENCH — throughput & two-cluster-size scaling evidence\n"
+    prev = bench_md.read_text() if bench_md.exists() else header
+    bench_md.write_text(prev + block)
+    print(f"efficiency={eff:.3f} → appended to BENCH.md")
+
+
+if __name__ == "__main__":
+    main()

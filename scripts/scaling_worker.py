@@ -1,0 +1,81 @@
+"""One scaling-measurement run: the full ER pipeline (canonicalize →
+shingle blocking join → feature UDFs → logistic matcher → UMC clustering)
+at a given core count, on a deterministic synthetic corpus.
+
+Prints one JSON line {cpus, n_conv, turns, scored_pairs, wall_s,
+turns_per_sec, f1}. Invoked in a FRESH process per core count (a JVM's
+local[N] master is fixed at startup) by scripts/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    n_conv = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
+
+    from ertransfer_spark.operators.blocking import top_k_token_join
+    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.operators.clustering import (
+        best_threshold,
+        pairwise_metrics,
+        unique_mapping_clusters,
+    )
+    from ertransfer_spark.operators.labeling import (
+        attach_labels,
+        referential_filter,
+        stratified_split,
+    )
+    from ertransfer_spark.operators.matcher import (
+        attach_pair_text,
+        featurize,
+        score,
+        train_matcher,
+    )
+    from ertransfer_spark.session import get_spark
+    from ertransfer_spark.synth import SynthConfig, generate, to_spark
+
+    spark = get_spark("scaling", cpus=cpus, shuffle_partitions=max(cpus * 2, 16))
+    ta, tb, m = generate(SynthConfig(n_conversations=n_conv, seed=42))
+    turns = len(ta) + len(tb)
+    sa, sb = to_spark(spark, ta), to_spark(spark, tb)
+    matches = spark.createDataFrame(m)
+
+    t0 = time.time()
+    ra = canonicalize(sa).localCheckpoint()
+    rb = canonicalize(sb).localCheckpoint()
+    golden = referential_filter(matches, ra, rb)
+    labeled = attach_labels(top_k_token_join(ra, rb, k=5), golden).localCheckpoint()
+    model = train_matcher(featurize(attach_pair_text(stratified_split(labeled)["train"], ra, rb)))
+    preds = score(model, featurize(attach_pair_text(labeled, ra, rb))).localCheckpoint()
+    n_pairs = preds.count()
+    accepted = unique_mapping_clusters(preds, best_threshold(preds))
+    metrics = pairwise_metrics(accepted, golden)
+    wall = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_conv": n_conv,
+                "turns": turns,
+                "scored_pairs": n_pairs,
+                "wall_s": round(wall, 2),
+                "turns_per_sec": round(turns / wall, 1),
+                "pairs_per_sec": round(n_pairs / wall, 1),
+                "f1": round(metrics["f1"], 4),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

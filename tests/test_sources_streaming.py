@@ -1,0 +1,127 @@
+"""Tests for CSV normalization sources, negative-sampling joins, matcher
+preprocessing options, and the streaming ingestion path."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_sniff_and_normalize_csv(spark, tmp_path):
+    from ertransfer_spark.sources.normalizer import (
+        read_csv_normalized,
+        read_matches_normalized,
+        sniff_separator,
+    )
+
+    p = tmp_path / "tableA.csv"
+    p.write_text("Id;name;year\n1;alpha beta;1999\n2;;2001\n")
+    assert sniff_separator(spark, str(p)) == ";"
+    df = read_csv_normalized(spark, str(p))
+    rows = {r["id"]: r for r in df.collect()}
+    assert df.columns == ["id", "name", "year"]
+    assert rows[1]["name"] == "alpha beta"
+    assert rows[2]["name"] == ""  # NaN → '' contract
+    assert rows[2]["year"] == "2001"  # attributes stay strings
+
+    m = tmp_path / "matches.csv"
+    m.write_text("D1|D2\n1|7\n2|9\n")
+    md = read_matches_normalized(spark, str(m))
+    assert md.columns == ["tableA_id", "tableB_id"]
+    assert md.count() == 2
+
+
+def test_csv_missing_id_raises(spark, tmp_path):
+    from ertransfer_spark.sources.normalizer import read_csv_normalized
+
+    p = tmp_path / "noid.csv"
+    p.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="id"):
+        read_csv_normalized(spark, str(p))
+
+
+def test_column_intersection(spark):
+    from ertransfer_spark.sources.normalizer import column_intersection
+
+    a = spark.createDataFrame([(1, "x", "y")], "id long, name string, extra_a string")
+    b = spark.createDataFrame([(2, "z", "w")], "id long, name string, extra_b string")
+    ia, ib = column_intersection(a, b)
+    assert ia.columns == ["id", "name"] and ib.columns == ["id", "name"]
+
+
+def test_negative_sampling(spark):
+    from ertransfer_spark.operators.labeling import all_negative_pairs, sample_negative_pairs
+
+    ra = spark.createDataFrame([(f"a{i}",) for i in range(10)], "conv_id string")
+    rb = spark.createDataFrame([(f"b{i}",) for i in range(10)], "conv_id string")
+    matches = spark.createDataFrame([("a0", "b0"), ("a1", "b1")], "a_id string, b_id string")
+
+    allneg = all_negative_pairs(ra, rb, matches)
+    assert allneg.count() == 98  # 100 - 2 golden
+    assert allneg.filter((F.col("a_id") == "a0") & (F.col("b_id") == "b0")).count() == 0
+
+    s1 = sample_negative_pairs(ra, rb, matches, n=5, seed=7).collect()
+    s2 = sample_negative_pairs(ra, rb, matches, n=5, seed=7).collect()
+    assert len(s1) == 5
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # deterministic
+    golden = {("a0", "b0"), ("a1", "b1")}
+    assert not golden & {tuple(r) for r in s1}
+
+
+def test_matcher_impute_standardize_and_kmeans(spark):
+    from ertransfer_spark.operators.matcher import FEATURES, kmeans_probs, score, train_matcher
+
+    import random
+
+    rng = random.Random(0)
+    rows = []
+    for i in range(60):
+        label = i % 2
+        base = 0.8 if label else 0.2
+        rows.append(
+            tuple([f"a{i}", f"b{i}", label] + [base + rng.uniform(-0.1, 0.1) for _ in FEATURES])
+        )
+    schema = "a_id string, b_id string, label int, " + ", ".join(f"{f} double" for f in FEATURES)
+    train = spark.createDataFrame(rows, schema)
+    model = train_matcher(train, impute=True, standardize=True)
+    preds = score(model, train)
+    from ertransfer_spark.operators.matcher import evaluate_predictions
+
+    assert evaluate_predictions(preds)["f1"] > 0.95
+
+    km = kmeans_probs(preds, k=2)
+    assert set(km.select("kmeans_cluster").distinct().toPandas()["kmeans_cluster"]) == {0, 1}
+
+
+def test_stream_matches_batch_canonicalization(spark, tmp_path):
+    """Per-turn equality invariant across the stream and batch paths: the
+    streamed canonicalization of a drained source equals the batch one."""
+    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.sources.catalog import SnapshotCatalog
+    from ertransfer_spark.streaming.ingest import (
+        canonicalize_stream,
+        read_turn_stream,
+        stream_to_catalog,
+    )
+    from ertransfer_spark.synth import SynthConfig, generate, to_spark
+
+    ta, _, _ = generate(SynthConfig(n_conversations=20, seed=11))
+    src = tmp_path / "turns"
+    src.mkdir()
+    with open(src / "part-0.json", "w") as f:
+        for r in ta.to_dict("records"):
+            r["ts"] = r["ts"].isoformat()
+            f.write(json.dumps(r) + "\n")
+
+    catalog = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    stream = canonicalize_stream(read_turn_stream(spark, str(src)))
+    q = stream_to_catalog(stream, catalog, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = catalog.read("stream_records_batch_00000").select("conv_id", "agValue").toPandas()
+    want = canonicalize(to_spark(spark, ta)).select("conv_id", "agValue").toPandas()
+    g = dict(zip(got["conv_id"], got["agValue"]))
+    w = dict(zip(want["conv_id"], want["agValue"]))
+    assert g == w
