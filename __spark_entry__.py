@@ -50,6 +50,10 @@ BIGRAMS_SPARK = SPARK_BIGRAMS_SQL.format(ts="ts")
 BIGRAMS_DUCK = DUCKDB_BIGRAMS_SQL.format(ts="ts")
 
 MIN_SIM = 0.05       # scored-pair floor (keeps the pair table sparse)
+MAX_GRAM_DF = 500    # per-side df cap on blocking shingles (skew control;
+                     # inactive at the sf0.01 correctness scale, bounds the
+                     # hot-gram quadratic blow-up at bench scale — mirrored
+                     # exactly in the SQL oracles)
 EC_THRESHOLD = 0.1   # reciprocal-top-1 acceptance
 CC_THRESHOLD = 0.3   # edge threshold for transitive clustering
 LABEL_EXPR = "a_lang = b_lang"  # proxy golden label for sweep/split parity
@@ -86,6 +90,14 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("b_id"), F.col("lang").alias("b_lang"),
         F.col("sz").alias("b_sz"), F.explode("s").alias("g"),
     )
+    keep_a = a.groupBy("g").agg(F.count(F.lit(1)).alias("dfa")).filter(
+        F.col("dfa") <= MAX_GRAM_DF
+    ).select("g")
+    keep_b = b.groupBy("g").agg(F.count(F.lit(1)).alias("dfb")).filter(
+        F.col("dfb") <= MAX_GRAM_DF
+    ).select("g")
+    a = a.join(F.broadcast(keep_a), "g").join(F.broadcast(keep_b), "g")
+    b = b.join(F.broadcast(keep_a), "g").join(F.broadcast(keep_b), "g")
     pairs = a.join(b, "g").groupBy("a_id", "b_id").agg(
         F.count(F.lit(1)).cast("long").alias("overlap"),
         F.first("a_sz").alias("a_sz"),
@@ -115,12 +127,21 @@ WITH tk AS (
   FROM documents
 ), shd AS (
   SELECT id, lang, {BIGRAMS_DUCK} AS s FROM tk
-), sa AS (
+), sa0 AS (
   SELECT id AS a_id, lang AS a_lang, len(s) AS a_sz, unnest(s) AS g
   FROM shd WHERE id % 2 = 0
-), sb AS (
+), sb0 AS (
   SELECT id AS b_id, lang AS b_lang, len(s) AS b_sz, unnest(s) AS g
   FROM shd WHERE id % 2 = 1
+), keepg AS (
+  SELECT da.g
+  FROM (SELECT g, count(*) AS dfa FROM sa0 GROUP BY g) da
+  JOIN (SELECT g, count(*) AS dfb FROM sb0 GROUP BY g) db USING (g)
+  WHERE da.dfa <= {MAX_GRAM_DF} AND db.dfb <= {MAX_GRAM_DF}
+), sa AS (
+  SELECT sa0.* FROM sa0 JOIN keepg USING (g)
+), sb AS (
+  SELECT sb0.* FROM sb0 JOIN keepg USING (g)
 ), pr AS (
   SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS overlap,
          any_value(a_sz) AS a_sz, any_value(b_sz) AS b_sz,
@@ -325,6 +346,10 @@ def q_dedup_shingle_jaccard(spark, sf_dir):
     """n-gram (word-bigram shingle) jaccard near-dup pairs, self-join."""
     d = _doc_shingles(spark, sf_dir)
     p = d.select("id", "sz", F.explode("s").alias("g"))
+    keep = p.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_GRAM_DF
+    ).select("g")
+    p = p.join(F.broadcast(keep), "g")
     left = p.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"), "g")
     right = p.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"), "g")
     pairs = (
@@ -744,8 +769,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(doc_id AS BIGINT) AS id, {TOKS_DUCK} AS ts FROM documents
             ), shd AS (
               SELECT id, {BIGRAMS_DUCK} AS s FROM tk
-            ), p AS (
+            ), p0 AS (
               SELECT id, len(s) AS sz, unnest(s) AS g FROM shd
+            ), keepg AS (
+              SELECT g FROM (SELECT g, count(*) AS df FROM p0 GROUP BY g)
+              WHERE df <= {MAX_GRAM_DF}
+            ), p AS (
+              SELECT p0.* FROM p0 JOIN keepg USING (g)
             ), pr AS (
               SELECT pa.id AS a_id, pb.id AS b_id,
                      CAST(count(*) AS BIGINT) AS overlap,

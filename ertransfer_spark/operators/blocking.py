@@ -80,6 +80,8 @@ def top_k_token_join(
     max_token_df: int | None = None,
     posting_budget: int | None = None,
     min_sim: float = 0.0,
+    salt: int = 1,
+    hash_tokens: bool = False,
 ) -> DataFrame:
     """Top-K similarity join → (a_id, b_id, overlap, a_size, b_size, sim).
 
@@ -87,9 +89,25 @@ def top_k_token_join(
     set metric (jaccard/dice/cosine/overlap), deterministic tie-break
     (sim DESC, b_id ASC). Set semantics by default; ``multiset=True``
     count-weights overlaps (pyJedAI ``_multiset`` parity).
+
+    ``salt > 1`` splits each token's posting join across ``salt`` shuffle
+    keys (left side hashed by a_id, right side replicated) — the north-rule
+    hot-key mitigation: a token shared by df_a × df_b records otherwise
+    lands its whole df_a·df_b join output in ONE partition (AQE skew-join
+    splits by input size, not output product, so it cannot fix this).
+    Results are identical for any salt value.
     """
     pa = _postings(records_a, id_col, tokens_col, "a", multiset, posting_budget)
     pb = _postings(records_b, id_col, tokens_col, "b", multiset, posting_budget)
+
+    if hash_tokens:
+        # shrink the shuffle: join on xxhash64(token) longs instead of the
+        # token strings (~20 bytes → 8). A 64-bit collision would merge two
+        # posting lists (P ≈ n²/2⁶⁵ over the distinct-token count) — off by
+        # default; enabled on throughput-critical paths where tokens are
+        # shingle strings and counts are huge.
+        pa = pa.withColumn("token", F.xxhash64("token"))
+        pb = pb.withColumn("token", F.xxhash64("token"))
 
     if max_token_df:
         df_a = pa.groupBy("token").agg(F.count(F.lit(1)).alias("df_a"))
@@ -100,7 +118,14 @@ def top_k_token_join(
         pa = pa.join(F.broadcast(keep), "token")
         pb = pb.join(F.broadcast(keep), "token")
 
-    joined = pa.join(pb, "token")
+    if salt > 1:
+        pa = pa.withColumn("_salt", F.pmod(F.hash("a_id"), F.lit(salt)))
+        pb = pb.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        joined = pa.join(pb, ["token", "_salt"]).drop("_salt")
+    else:
+        joined = pa.join(pb, "token")
     if multiset:
         overlap = F.sum(F.least(F.col("a_cnt"), F.col("b_cnt")))
     else:

@@ -97,9 +97,11 @@ def unique_mapping_clusters(
             .localCheckpoint()
         )
     if accepted is None:
-        return predictions.sparkSession.createDataFrame(
-            [], "a_id string, b_id string, prob double"
-        )
+        # schema-stable empty result derived from the input (ids keep
+        # their incoming type — string conv_ids or long doc_ids alike)
+        return predictions.select(
+            "a_id", "b_id", F.col(prob_col).cast("double").alias("prob")
+        ).limit(0)
     return accepted
 
 
@@ -150,6 +152,45 @@ def threshold_sweep(
 def best_threshold(predictions: DataFrame, **kw) -> float:
     sweep = threshold_sweep(predictions, **kw)
     return max(sweep, key=lambda r: (r["f1"], -r["threshold"]))["threshold"]
+
+
+def tune_threshold_runs(
+    predictions: DataFrame,
+    n_runs: int = 10,
+    tune_fraction: float = 0.2,
+    seed: int = 42,
+    label_col: str = "label",
+    prob_col: str = "prob_class1",
+) -> dict:
+    """The reference's full tuning protocol (M4 + A7): ``n_runs`` times,
+    pick the argmax-F1 threshold on a ``tune_fraction`` stratified split
+    and evaluate on the rest; report mean/std of threshold and holdout F1
+    (clustering/Probabilities/clustering.py:70-102, mean/std at :87-91).
+
+    Splits are deterministic hash-buckets per run seed (order-independent),
+    and every run reuses ONE pass per sweep — never 100 rescans.
+    """
+    import statistics
+
+    thresholds, f1s = [], []
+    for r in range(n_runs):
+        bucket = F.pmod(F.xxhash64("a_id", "b_id", F.lit(seed + r)), F.lit(100))
+        tune = predictions.filter(bucket < int(tune_fraction * 100))
+        rest = predictions.filter(bucket >= int(tune_fraction * 100))
+        t = best_threshold(tune, label_col=label_col, prob_col=prob_col)
+        sweep_rest = threshold_sweep(rest, label_col=label_col, prob_col=prob_col)
+        f1 = next(
+            (row["f1"] for row in sweep_rest if abs(row["threshold"] - t) < 1e-9), 0.0
+        )
+        thresholds.append(t)
+        f1s.append(f1)
+    return {
+        "threshold_mean": statistics.mean(thresholds),
+        "threshold_std": statistics.pstdev(thresholds),
+        "f1_mean": statistics.mean(f1s),
+        "f1_std": statistics.pstdev(f1s),
+        "runs": n_runs,
+    }
 
 
 # --------------------------------------------------------------------------

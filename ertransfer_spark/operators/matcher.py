@@ -98,9 +98,14 @@ def train_matcher(
             StandardScaler(inputCol="_raw_features", outputCol="features", withMean=True, withStd=True)
         )
         features_col = "features"
+    # LBFGS runs maxIter tree-aggregate jobs when data is separable (no
+    # early convergence), and each job on a small train split is pure
+    # scheduling overhead — cap iterations and shrink partitions so the
+    # fit is not the pipeline's fixed-cost floor.
+    featurized_train = featurized_train.coalesce(16)
     if algorithm == "logreg":
         clf = LogisticRegression(
-            featuresCol=features_col, labelCol=label_col, maxIter=100, regParam=1e-4
+            featuresCol=features_col, labelCol=label_col, maxIter=25, regParam=1e-4
         )
     elif algorithm == "gbt":
         clf = GBTClassifier(

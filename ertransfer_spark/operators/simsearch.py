@@ -53,25 +53,77 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k → (query_id, nbr_id, sim_r).
 
-    Self-matches (same id) are excluded. The query side is broadcast —
-    callers bound |Q| (e.g. a sampled probe set); the corpus streams.
+    Self-matches (same id) are excluded. The query matrix is collected and
+    broadcast as a numpy array (callers bound |Q| — a probe set); the
+    corpus streams through an Arrow-batched mapInPandas doing ONE float64
+    matmul per batch (the north-rule vectorized-UDF path; the
+    zip_with/aggregate Column form allocates per-pair arrays and is ~10×
+    slower).
+
+    Exactness of the per-batch prefilter: a corpus row can only reach the
+    global top-k if its sim is within one rounding step of the batch's
+    k-th largest sim (k better rows in its own batch already dominate it
+    at the final rounded ranking). The final round+rank happens in Spark
+    expressions so tie-breaks are identical to the SQL oracle.
     """
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("qv"), F.col("_norm").alias("qn")
+    import numpy as np
+    import pandas as pd
+
+    q_pdf = queries.select(
+        F.col(id_col).cast("long").alias("qid"), _as_double(vec_col).alias("v")
+    ).toPandas()
+    q_ids = np.asarray(q_pdf["qid"], dtype=np.int64)
+    Q = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
+    q_norm = np.sqrt((Q * Q).sum(axis=1))
+    q_scale = np.where(q_norm > 0, q_norm, 1.0)
+    Qn = (Q / q_scale[:, None]) * (q_norm > 0)[:, None]
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, Qn.T.copy()))
+    eps = 10.0 ** (-round_dp)
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("nbr_id"), _as_double(vec_col).alias("v")
     )
-    c = with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("nbr_id"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
-    )
-    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("nbr_id"))
-        .select(
-            "query_id",
-            "nbr_id",
-            F.round(F.when((F.col("qn") > 0) & (F.col("cn") > 0), sim).otherwise(F.lit(0.0)), round_dp).alias("sim_r"),
-        )
-    )
+
+    def search(batches):
+        ids, QnT = bq.value
+        nq = len(ids)
+        kk = min(k + 1, nq)  # +1: self-match removed after scoring
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            m_norm = np.sqrt((M * M).sum(axis=1))
+            m_scale = np.where(m_norm > 0, m_norm, 1.0)
+            Mn = (M / m_scale[:, None]) * (m_norm > 0)[:, None]
+            S = Mn @ QnT  # (batch, nq)
+            nbr = np.asarray(pdf["nbr_id"], dtype=np.int64)
+            if len(nbr) > kk:
+                kth = np.partition(S, -kk, axis=0)[-kk, :]  # per-query kth largest
+                keep_r, keep_q = np.where(S >= (kth[None, :] - eps))
+            else:
+                keep_r, keep_q = np.where(np.ones_like(S, dtype=bool))
+            out = pd.DataFrame(
+                {
+                    "query_id": ids[keep_q],
+                    "nbr_id": nbr[keep_r],
+                    "sim": S[keep_r, keep_q],
+                }
+            )
+            yield out[out["query_id"] != out["nbr_id"]]
+
+    import pyspark.sql.types as T
+
+    scored = src.mapInPandas(
+        search,
+        schema=T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("nbr_id", T.LongType()),
+                T.StructField("sim", T.DoubleType()),
+            ]
+        ),
+    ).select("query_id", "nbr_id", F.round("sim", round_dp).alias("sim_r"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.asc("nbr_id"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))

@@ -34,6 +34,20 @@ SYNONYMS = {
     "deploy": "release", "cluster": "fleet", "latency": "delay",
     "model": "estimator", "train": "fit", "merge": "combine",
 }
+
+# Content-word tail: 2048 deterministic pseudo-words. Real transcripts have
+# thousands of distinct content tokens; a head-only vocabulary makes every
+# record share every blocking token (all-pairs blow-up), which is neither
+# realistic nor scalable to measure against. Word draws mix ~35% head
+# (stop-word-like, exercises hot-token df-pruning) with 65% tail
+# (selective content words that make blocking sub-quadratic).
+_SYLLABLES = [
+    "ka", "to", "mi", "ra", "ne", "su", "lo", "ve",
+    "da", "pi", "zu", "fe", "go", "ri", "ta", "mo",
+]
+TAIL_VOCAB = [
+    a + b + c for a in _SYLLABLES for b in _SYLLABLES for c in _SYLLABLES[:8]
+]
 ROLES = ["user", "assistant", "tool"]
 TOOLS = [None, "search", "bash", "python", "browser"]
 EPOCH = datetime(2026, 1, 1)
@@ -53,6 +67,7 @@ class SynthConfig:
     hot_token: str | None = None     # injected into this fraction of convs...
     hot_token_frac: float = 0.0      # ...to create a mega-block
     mega_conv_turns: int = 0         # if >0, make conv 0 this many turns
+    head_fraction: float = 0.35      # P(word drawn from the hot head vocab)
     seed: int = 42
     extra: dict = field(default_factory=dict)
 
@@ -65,7 +80,10 @@ def _make_conv(rng: random.Random, conv_id: str, cfg: SynthConfig, hot: bool) ->
     ts = EPOCH + timedelta(seconds=rng.randint(0, 10_000_000))
     for t in range(n_turns):
         n_words = rng.randint(*cfg.turn_len)
-        words = [rng.choice(VOCAB) for _ in range(n_words)]
+        words = [
+            rng.choice(VOCAB) if rng.random() < cfg.head_fraction else rng.choice(TAIL_VOCAB)
+            for _ in range(n_words)
+        ]
         if hot and cfg.hot_token:
             words.insert(rng.randrange(len(words) + 1), cfg.hot_token)
         role = ROLES[t % len(ROLES)]

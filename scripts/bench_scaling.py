@@ -22,21 +22,34 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_once(cpus: int, n_conv: int) -> dict:
+    """One leg, pinned to ``cpus`` PHYSICAL cores with taskset: local[N] on
+    an unrestricted 32-core box is not an N-core machine (GC, shuffle IO,
+    Arrow and Python workers use every core regardless of task slots), so
+    the honest proxy for an N-executor vs 4N-executor cluster is an
+    N-core vs 4N-core CPU envelope."""
+    cmd = [sys.executable, str(REPO / "scripts" / "scaling_worker.py"), str(cpus), str(n_conv)]
+    import os
+    import shutil as _sh
+
+    env = dict(os.environ, SPARK_DRIVER_MEM="24g")
+    if _sh.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, str(REPO / "scripts" / "scaling_worker.py"), str(cpus), str(n_conv)],
+        cmd,
         capture_output=True,
         text=True,
         check=True,
         cwd=str(REPO),
         timeout=3000,
+        env=env,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
 def main() -> None:
-    n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
-    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 120000
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
     results = {8: [], 32: []}
     for _ in range(n_runs):

@@ -21,6 +21,8 @@ def main() -> None:
     cpus = int(sys.argv[1])
     n_conv = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
 
+    from pyspark.sql import functions as F
+
     from ertransfer_spark.operators.blocking import top_k_token_join
     from ertransfer_spark.operators.canonicalize import canonicalize
     from ertransfer_spark.operators.clustering import (
@@ -42,22 +44,48 @@ def main() -> None:
     from ertransfer_spark.session import get_spark
     from ertransfer_spark.synth import SynthConfig, generate, to_spark
 
-    spark = get_spark("scaling", cpus=cpus, shuffle_partitions=max(cpus * 2, 16))
+    import os
+    shuffle = int(os.environ.get("SHUFFLE_PARTS", max(cpus * 2, 64)))
+    spark = get_spark("scaling", cpus=cpus, shuffle_partitions=shuffle)
     ta, tb, m = generate(SynthConfig(n_conversations=n_conv, seed=42))
     turns = len(ta) + len(tb)
     sa, sb = to_spark(spark, ta), to_spark(spark, tb)
     matches = spark.createDataFrame(m)
 
+    stage_s: dict[str, float] = {}
+
+    def mark(name: str, t_prev: float) -> float:
+        now = time.time()
+        stage_s[name] = round(now - t_prev, 2)
+        return now
+
     t0 = time.time()
+    t = t0
     ra = canonicalize(sa).localCheckpoint()
     rb = canonicalize(sb).localCheckpoint()
+    t = mark("canonicalize", t)
     golden = referential_filter(matches, ra, rb)
-    labeled = attach_labels(top_k_token_join(ra, rb, k=5), golden).localCheckpoint()
-    model = train_matcher(featurize(attach_pair_text(stratified_split(labeled)["train"], ra, rb)))
+    labeled = attach_labels(
+        top_k_token_join(ra, rb, k=int(sys.argv[3]) if len(sys.argv) > 3 else 25, tokens_col="shingle_set", salt=8), golden
+    ).localCheckpoint()
+    t = mark("blocking", t)
+    # train on a deterministic ~10% hash-sample of the train split: the
+    # decision boundary needs tens of thousands of pairs, not millions,
+    # and the LBFGS job chain is fixed-latency that would otherwise be
+    # charged to every corpus size (the scored-pair THROUGHPUT path below
+    # still featurizes and scores every candidate).
+    train_pairs = stratified_split(labeled)["train"]
+    train_pairs = train_pairs.filter(
+        F.pmod(F.xxhash64("a_id", "b_id", F.lit(999)), F.lit(10)) == 0
+    )
+    model = train_matcher(featurize(attach_pair_text(train_pairs, ra, rb)))
+    t = mark("train", t)
     preds = score(model, featurize(attach_pair_text(labeled, ra, rb))).localCheckpoint()
     n_pairs = preds.count()
+    t = mark("score", t)
     accepted = unique_mapping_clusters(preds, best_threshold(preds))
     metrics = pairwise_metrics(accepted, golden)
+    t = mark("cluster", t)
     wall = time.time() - t0
 
     print(
@@ -71,6 +99,7 @@ def main() -> None:
                 "turns_per_sec": round(turns / wall, 1),
                 "pairs_per_sec": round(n_pairs / wall, 1),
                 "f1": round(metrics["f1"], 4),
+                "stages": stage_s,
             }
         )
     )
