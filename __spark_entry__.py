@@ -90,14 +90,16 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("b_id"), F.col("lang").alias("b_lang"),
         F.col("sz").alias("b_sz"), F.explode("s").alias("g"),
     )
-    keep_a = a.groupBy("g").agg(F.count(F.lit(1)).alias("dfa")).filter(
-        F.col("dfa") <= MAX_GRAM_DF
-    ).select("g")
-    keep_b = b.groupBy("g").agg(F.count(F.lit(1)).alias("dfb")).filter(
-        F.col("dfb") <= MAX_GRAM_DF
-    ).select("g")
-    a = a.join(F.broadcast(keep_a), "g").join(F.broadcast(keep_b), "g")
-    b = b.join(F.broadcast(keep_a), "g").join(F.broadcast(keep_b), "g")
+    keep = (
+        a.groupBy("g").agg(F.count(F.lit(1)).alias("dfa")).filter(F.col("dfa") <= MAX_GRAM_DF)
+        .join(
+            b.groupBy("g").agg(F.count(F.lit(1)).alias("dfb")).filter(F.col("dfb") <= MAX_GRAM_DF),
+            "g",
+        )
+        .select("g")
+    )
+    a = a.join(F.broadcast(keep), "g")
+    b = b.join(F.broadcast(keep), "g")
     pairs = a.join(b, "g").groupBy("a_id", "b_id").agg(
         F.count(F.lit(1)).cast("long").alias("overlap"),
         F.first("a_sz").alias("a_sz"),
@@ -371,8 +373,16 @@ def q_dedup_shingle_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup (murmur3 signatures — rows-only check; the
-    engine-side recall test vs exact jaccard lives in tests/)."""
+    """MinHash+LSH near-dup with portable polynomial hashes — the full
+    banding + exact-verify pipeline is oracle-checked hash-for-hash."""
+    from ertransfer_spark.operators.dedup import minhash_dedup_portable
+
+    return minhash_dedup_portable(_t(spark, sf_dir, "documents"), min_jaccard=0.5)
+
+
+def q_dedup_minhash_fast(spark, sf_dir):
+    """Same algorithm with engine-native murmur3 signatures (the
+    throughput path at scale — rows-only check by construction)."""
     from ertransfer_spark.operators.dedup import minhash_dedup
 
     return minhash_dedup(_t(spark, sf_dir, "documents"), min_jaccard=0.5)
@@ -594,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stats": q_dedup_exact_stats,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_fast": q_dedup_minhash_fast,
         "simhash": q_simhash,
         "doc_fingerprints": q_doc_fingerprints,
         # similarity search
@@ -623,7 +634,10 @@ def oracle_sql() -> dict[str, str]:
         doc_fingerprint_duckdb,
         lang_id_duckdb,
     )
-    from ertransfer_spark.operators.dedup import simhash_duckdb_sql
+    from ertransfer_spark.operators.dedup import (
+        minhash_portable_duckdb_sql,
+        simhash_duckdb_sql,
+    )
 
     norm = DUCKDB_NORM.format(col="text")
     label_int = f"CAST(CASE WHEN {LABEL_EXPR} THEN 1 ELSE 0 END AS BIGINT)"
@@ -786,6 +800,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_id, b_id, round(overlap / (a_sz + b_sz - overlap), 6) AS sim_r
             FROM pr WHERE round(overlap / (a_sz + b_sz - overlap), 6) >= 0.6
         """,
+        "dedup_minhash_lsh": minhash_portable_duckdb_sql(),
         "simhash": simhash_duckdb_sql("text"),
         "doc_fingerprints": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -163,6 +163,133 @@ def _token_hash_expr(tok: str) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Portable MinHash+LSH — polynomial hashes, exactly reproducible in any
+# engine, so the DuckDB oracle can verify the FULL banding+verify pipeline
+# --------------------------------------------------------------------------
+
+_MH_MUL = 99991        # j-th permutation: h_j(t) = (th(t)*(2j+1) + j*_MH_MUL) mod M
+_BAND_MUL = 1000003    # band key: fold (acc*_BAND_MUL + h) mod M over the band's rows
+
+
+def minhash_dedup_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 96,
+    bands: int = 32,
+    min_jaccard: float = 0.5,
+    shingle: int = 2,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with PORTABLE hashes → (a_id, b_id, sim_r).
+
+    Same algorithm as :func:`minhash_dedup` (columnar min-agg signatures,
+    banding bucket join, exact-jaccard verification) but every hash is the
+    pinned polynomial spec — th(t) = fold (h*31+ascii) mod 2^31-1 — so the
+    whole operator has an exact SQL twin (:func:`minhash_portable_duckdb_sql`).
+    Murmur3 (:func:`minhash_dedup`) stays the throughput path; this one is
+    the verifiable path.
+    """
+    from ertransfer_spark.functions.text import word_shingles
+
+    rows = n_hashes // bands
+    tok = word_shingles(text_col, n=shingle)
+    recs = docs.select(F.col(id_col).cast("long").alias("id"), tok.alias("s"))
+    posts = recs.select("id", F.explode("s").alias("g"))
+    th = F.expr(_token_hash_expr("g"))
+    posts = posts.withColumn("th", th)
+    sig = posts.groupBy("id").agg(
+        *[
+            F.min((F.col("th") * (2 * j + 1) + j * _MH_MUL) % _HASH_MOD).alias(f"h{j}")
+            for j in range(n_hashes)
+        ]
+    )
+    band_cols = []
+    for b in range(bands):
+        acc = F.lit(0)
+        for r in range(rows):
+            acc = (acc * _BAND_MUL + F.col(f"h{b * rows + r}")) % _HASH_MOD
+        band_cols.append(acc)
+    banded = sig.select("id", F.posexplode(F.array(*band_cols)).alias("bi", "bh"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["bi", "bh"])
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .distinct()
+    )
+    sa = recs.select(F.col("id").alias("a_id"), F.col("s").alias("sa"))
+    sb = recs.select(F.col("id").alias("b_id"), F.col("s").alias("sb"))
+    o = F.size(F.array_intersect("sa", "sb"))
+    sim = o / (F.size("sa") + F.size("sb") - o).cast("double")
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("sim_r", F.round(sim, 6))
+        .filter(F.col("sim_r") >= min_jaccard)
+        .select("a_id", "b_id", "sim_r")
+    )
+
+
+def minhash_portable_duckdb_sql(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    n_hashes: int = 96,
+    bands: int = 32,
+    min_jaccard: float = 0.5,
+) -> str:
+    """DuckDB query mirroring :func:`minhash_dedup_portable` hash-for-hash."""
+    from ertransfer_spark.functions.text import DUCKDB_BIGRAMS_SQL, DUCKDB_TOKENS_SQL
+
+    rows = n_hashes // bands
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    sh = DUCKDB_BIGRAMS_SQL.format(ts=toks)
+    th = (
+        "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        "list_transform(range(1, 1 + length(g)), i -> CAST(ascii(substr(g, i, 1)) AS BIGINT))), "
+        f"(h, c) -> (h * 31 + c) % {_HASH_MOD})"
+    )
+    hmins = ", ".join(
+        f"min((th * {2 * j + 1} + {j * _MH_MUL}) % {_HASH_MOD}) AS h{j}"
+        for j in range(n_hashes)
+    )
+    band_exprs = []
+    for b in range(bands):
+        acc = "CAST(0 AS BIGINT)"
+        for r in range(rows):
+            acc = f"((({acc}) * {_BAND_MUL} + h{b * rows + r}) % {_HASH_MOD})"
+        band_exprs.append(f"{acc} AS b{b}")
+    band_eq = " OR ".join(f"x.b{b} = y.b{b}" for b in range(bands))
+    return f"""
+      WITH recs AS (
+        SELECT CAST({id_col} AS BIGINT) AS id, {sh} AS s FROM {table}
+      ), p AS (
+        SELECT id, unnest(s) AS g FROM recs
+      ), hashed AS (
+        SELECT id, {th} AS th FROM p
+      ), sig AS (
+        SELECT id, {hmins} FROM hashed GROUP BY id
+      ), bnd AS (
+        SELECT id, {', '.join(band_exprs)} FROM sig
+      ), cand AS (
+        SELECT x.id AS a_id, y.id AS b_id
+        FROM bnd x JOIN bnd y ON x.id < y.id AND ({band_eq})
+      ), verified AS (
+        SELECT c.a_id, c.b_id,
+               round(
+                 len(list_filter(ra.s, t -> list_contains(rb.s, t)))
+                 / CAST(len(ra.s) + len(rb.s)
+                        - len(list_filter(ra.s, t -> list_contains(rb.s, t))) AS DOUBLE), 6
+               ) AS sim_r
+        FROM cand c
+        JOIN recs ra ON ra.id = c.a_id
+        JOIN recs rb ON rb.id = c.b_id
+      )
+      SELECT a_id, b_id, sim_r FROM verified WHERE sim_r >= {min_jaccard}
+    """
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash32) — portable SimHash over distinct tokens."""
     th = _token_hash_expr("t")

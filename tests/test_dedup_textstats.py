@@ -158,3 +158,15 @@ def test_decode_image_is_stub(spark, docs):
     blobs = docs.limit(1).select("doc_id", F.encode("text", "utf-8").alias("payload"))
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         decode_image(blobs).collect()
+
+
+def test_minhash_portable_matches_fast(spark, docs):
+    """The portable-hash and murmur3 MinHash variants must find the same
+    verified pairs (verification is exact in both; only banding recall
+    could differ, and at these sizes both recover everything)."""
+    from ertransfer_spark.operators.dedup import minhash_dedup, minhash_dedup_portable
+
+    fast = {(r["a_id"], r["b_id"]): r["sim_r"] for r in minhash_dedup(docs, min_jaccard=0.4).collect()}
+    portable = {(r["a_id"], r["b_id"]): r["sim_r"] for r in minhash_dedup_portable(docs, min_jaccard=0.4).collect()}
+    assert fast == portable
+    assert (0, 1) in portable
