@@ -167,6 +167,25 @@ def word_shingles(text_col: str, n: int = 2) -> Column:
     return F.expr(tpl.format(ts=toks))
 
 
+def serialize_pair(a: Column | str, b: Column | str, sep: str = " [SEP] ") -> Column:
+    """F9 (string part): one-string pair serialization — dader/unicorn join
+    the two records' agValues with ``' [SEP] '`` into a single ``pairs``
+    column (methods/dader/transform.py:24-26, methods/unicorn/
+    transform.py:26-31). The wordpiece encode itself is the (out-of-scope)
+    transformer path; this is the seam a fine-tuned LM would consume."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.concat_ws(sep, F.coalesce(ca, F.lit("")), F.coalesce(cb, F.lit("")))
+
+
+def instruction_template(a: Column | str, b: Column | str) -> Column:
+    """F12: unicorn's instruction templating —
+    ``"does X [SEP] matches with Y"`` (methods/unicorn/transform.py:26-28)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.format_string("does %s [SEP] matches with %s", ca, cb)
+
+
 def duckdb_qgrams_sql(col: str, q: int = 3, multiset: bool = False) -> str:
     """DuckDB expression mirroring :func:`qgrams` (for oracle_sql)."""
     norm = DUCKDB_NORM.format(col=col)

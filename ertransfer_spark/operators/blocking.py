@@ -82,6 +82,7 @@ def top_k_token_join(
     min_sim: float = 0.0,
     salt: int = 1,
     hash_tokens: bool = False,
+    reverse: bool = False,
 ) -> DataFrame:
     """Top-K similarity join → (a_id, b_id, overlap, a_size, b_size, sim).
 
@@ -96,7 +97,29 @@ def top_k_token_join(
     lands its whole df_a·df_b join output in ONE partition (AQE skew-join
     splits by input size, not output product, so it cannot fix this).
     Results are identical for any salt value.
+
+    ``reverse`` runs the join with the sides swapped (top-K kept per
+    B-record) and re-orients the output columns — J3 parity with the
+    reference's build-side switch (splitters/KNN-Join/splitter.py:54-71,
+    179-181, auto when |A| < |B|). Spark picks its own physical build side
+    regardless; this only controls which side the K-budget applies to.
     """
+    if reverse:
+        swapped = top_k_token_join(
+            records_b, records_a, k=k, metric=metric, id_col=id_col,
+            tokens_col=tokens_col, multiset=multiset, max_token_df=max_token_df,
+            posting_budget=posting_budget, min_sim=min_sim, salt=salt,
+            hash_tokens=hash_tokens, reverse=False,
+        )
+        return swapped.select(
+            F.col("b_id").alias("a_id"),
+            F.col("a_id").alias("b_id"),
+            "overlap",
+            F.col("b_size").alias("a_size"),
+            F.col("a_size").alias("b_size"),
+            "sim",
+        )
+
     pa = _postings(records_a, id_col, tokens_col, "a", multiset, posting_budget)
     pb = _postings(records_b, id_col, tokens_col, "b", multiset, posting_budget)
 

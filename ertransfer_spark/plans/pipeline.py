@@ -47,6 +47,7 @@ class PipelineConfig:
     k: int = 5
     metric: str = "jaccard"
     tokens_col: str = "shingle_set"  # blocking token column from canonicalize
+    salt: int = 4                    # posting-join salt (hot-token spread)
     max_token_df: int | None = None
     posting_budget: int | None = None
     min_sim: float = 0.0
@@ -108,7 +109,7 @@ class ERPipeline:
 
         def _block():
             cand = top_k_token_join(
-                ra, rb, k=cfg.k, metric=cfg.metric, tokens_col=cfg.tokens_col,
+                ra, rb, k=cfg.k, metric=cfg.metric, tokens_col=cfg.tokens_col, salt=cfg.salt,
                 max_token_df=cfg.max_token_df, posting_budget=cfg.posting_budget,
                 min_sim=cfg.min_sim,
             )

@@ -95,3 +95,28 @@ def test_block_histogram_counts(records):
     h = block_histogram(records[0]).toPandas()
     assert (h["n_tokens"] > 0).all()
     assert (h["comparisons"] >= h["n_tokens"]).all()
+
+
+def test_reverse_join_orientation(records):
+    from pyspark.sql import functions as F
+
+    fwd = top_k_token_join(records[0], records[1], k=3)
+    rev = top_k_token_join(records[1], records[0], k=3, reverse=True)
+    # reverse swaps which side the K-budget applies to, but output columns
+    # keep the caller's (a, b) orientation: here both calls budget per
+    # original-A record, so the pair sets coincide
+    f = {(r["a_id"], r["b_id"]) for r in fwd.collect()}
+    r = {(r["b_id"], r["a_id"]) for r in rev.collect()}
+    assert f == r
+
+
+def test_pair_serialization_templates(spark):
+    from ertransfer_spark.functions.text import instruction_template, serialize_pair
+
+    df = spark.createDataFrame([("alpha", "beta")], "a string, b string")
+    row = df.select(
+        serialize_pair("a", "b").alias("p"),
+        instruction_template("a", "b").alias("i"),
+    ).collect()[0]
+    assert row["p"] == "alpha [SEP] beta"
+    assert row["i"] == "does alpha [SEP] matches with beta"
