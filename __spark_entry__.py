@@ -423,6 +423,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(e, e, k=5, id_col="vec_id", vec_col="embedding")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: KMeans cells + n_probe nearest-cell search (approximate,
+    KMeans-dependent — rows-only check; recall tested in tests/)."""
+    from ertransfer_spark.operators.simsearch import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e, k=5, n_lists=8, n_probe=3)
+
+
 def q_embedding_neardup(spark, sf_dir):
     from ertransfer_spark.operators.simsearch import cosine_neardup_pairs
 
@@ -610,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         # text analysis
         "lang_id": q_lang_id,

@@ -35,7 +35,7 @@ HEADLINE = [
     # dedup suite
     "dedup_exact_stats",
     "dedup_shingle_jaccard",
-    "dedup_minhash_lsh",
+    "dedup_minhash_fast",
     "simhash",
     # similarity search
     "ann_cosine_topk",

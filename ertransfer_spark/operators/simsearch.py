@@ -162,6 +162,76 @@ def cosine_neardup_pairs(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: KMeans-partition the corpus into ``n_lists`` cells,
+    probe the ``n_probe`` nearest cells per query, exact cosine re-rank
+    within the probed cells → (query_id, nbr_id, sim_r), approximate.
+
+    The 100 TB shape: the corpus is clustered ONCE (Spark ML KMeans,
+    data-parallel) and stored partitioned by cell; each query touches
+    n_probe/n_lists of the data through an equi-join on cell id — no cross
+    join, no full scan. Centroids are tiny and broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("nbr_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("_feat", array_to_vector("cv"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select("nbr_id", "cv", "cell")
+
+    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("qv"), F.col("_norm").alias("qn")
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "cdist",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+
+    cn = F.sqrt(F.aggregate(F.zip_with("cv", "cv", lambda a, b: a * b), F.lit(0.0), lambda x, v: x + v))
+    cand = probes.join(assigned, "cell").filter(F.col("query_id") != F.col("nbr_id"))
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * cn)
+    scored = cand.select(
+        "query_id",
+        "nbr_id",
+        F.round(F.when(F.col("qn") > 0, sim).otherwise(F.lit(0.0)), round_dp).alias("sim_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def _hyperplane_sign(vec: Column, plane: int, seed: int) -> Column:
     """sign(v · h_plane) where h_plane[i] = deterministic pseudo-random ±/value
     from murmur3(i, plane, seed), scaled to [-1, 1]. Pure JVM expression."""

@@ -118,3 +118,73 @@ def stream_to_catalog(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_dedup_stream(
+    turns_stream: DataFrame,
+    catalog,
+    corpus_table: str = "corpus_records",
+    dup_table: str = "dup_pairs",
+    min_jaccard: float = 0.6,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming near-dup detection against a growing corpus.
+
+    Per micro-batch: canonicalize the batch's conversations, MinHash-join
+    the NEW records against everything committed so far (plus themselves),
+    append the new records to the corpus snapshot and the detected pairs to
+    ``dup_table``. This is the streaming shape of web-scale ingest dedup:
+    per-batch cost ∝ |batch| × collision rate, never |corpus|² — the
+    committed corpus is only touched through the LSH bucket join.
+
+    Dup pairs are oriented (existing_or_lower_id → new), deterministic
+    across replays of the same batch sequence.
+    """
+    from ertransfer_spark.operators.blocking import minhash_lsh_join
+    from ertransfer_spark.operators.canonicalize import canonicalize
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new = canonicalize(batch_df).select("conv_id", "agValue", "shingle_set")
+        try:
+            corpus = catalog.read(corpus_table).select("conv_id", "agValue", "shingle_set")
+        except FileNotFoundError:
+            corpus = None
+        both = new if corpus is None else corpus.unionByName(new)
+        pairs = minhash_lsh_join(
+            both,
+            new,
+            id_col="conv_id",
+            tokens_col="shingle_set",
+            min_jaccard=min_jaccard,
+            self_join=False,
+        ).filter(F.col("a_id") < F.col("b_id"))
+        # a new record also collides with itself via (corpus ∪ new) × new —
+        # the a<b filter removes self-pairs and de-orients duplicates
+        pairs = pairs.dropDuplicates(["a_id", "b_id"])
+        n_new = new.count()
+        n_pairs = pairs.count()
+        catalog.commit(corpus_table, both, meta={"batch_id": batch_id})
+        catalog.commit(f"{dup_table}_batch_{batch_id:05d}", pairs, meta={"batch_id": batch_id})
+        catalog.append_lineage(
+            [
+                {
+                    "stage": f"{dup_table}_batch_{batch_id:05d}",
+                    "run_id": f"stream-{batch_id}",
+                    "wall_ms": 0,
+                    "block_key": "",
+                    "candidate_count": int(n_new),
+                    "comparisons": 0,
+                    "matches": int(n_pairs),
+                }
+            ]
+        )
+
+    writer = turns_stream.writeStream.foreachBatch(process_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -170,3 +170,16 @@ def test_minhash_portable_matches_fast(spark, docs):
     portable = {(r["a_id"], r["b_id"]): r["sim_r"] for r in minhash_dedup_portable(docs, min_jaccard=0.4).collect()}
     assert fast == portable
     assert (0, 1) in portable
+
+
+def test_ivf_topk_recall(spark, vectors):
+    """IVF ANN with n_probe covering most cells must recover the exact
+    top-1 for nearly all queries on the clustered direction groups."""
+    from ertransfer_spark.operators.simsearch import brute_force_topk, ivf_topk
+
+    exact = {r["query_id"]: r["nbr_id"] for r in brute_force_topk(vectors, vectors, k=1).collect()}
+    got = {r["query_id"]: r["nbr_id"] for r in ivf_topk(
+        vectors, vectors, k=1, n_lists=4, n_probe=2
+    ).collect()}
+    hits = sum(1 for qid, n in exact.items() if got.get(qid) == n)
+    assert hits >= len(exact) * 0.8

@@ -125,3 +125,53 @@ def test_stream_matches_batch_canonicalization(spark, tmp_path):
     g = dict(zip(got["conv_id"], got["agValue"]))
     w = dict(zip(want["conv_id"], want["agValue"]))
     assert g == w
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Two micro-batches: batch 2 contains a near-copy of a batch-1
+    conversation — the streamed dedup must flag the cross-batch pair."""
+    import json as _json
+
+    from ertransfer_spark.sources.catalog import SnapshotCatalog
+    from ertransfer_spark.streaming.ingest import incremental_dedup_stream, read_turn_stream
+    from ertransfer_spark.synth import SynthConfig, generate
+
+    ta, tb, matches = generate(SynthConfig(n_conversations=12, match_fraction=0.99, seed=3))
+    src = tmp_path / "turns"
+    src.mkdir()
+
+    def write_batch(name, pdf):
+        with open(src / name, "w") as f:
+            for r in pdf.to_dict("records"):
+                r["ts"] = r["ts"].isoformat()
+                f.write(_json.dumps(r) + "\n")
+
+    catalog = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    # batch 1: the A side only
+    write_batch("b1.json", ta)
+    q = incremental_dedup_stream(
+        read_turn_stream(spark, str(src), max_files_per_trigger=1),
+        catalog,
+        min_jaccard=0.3,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    # batch 2: the B side (near-copies of A) — resume from the checkpoint
+    write_batch("b2.json", tb)
+    q2 = incremental_dedup_stream(
+        read_turn_stream(spark, str(src), max_files_per_trigger=1),
+        catalog,
+        min_jaccard=0.3,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    q2.awaitTermination(120)
+
+    corpus = catalog.read("corpus_records")
+    assert corpus.count() == len(set(ta["conv_id"])) + len(set(tb["conv_id"]))
+    found = set()
+    for p in catalog.snapshots("dup_pairs_batch_00001") and ["dup_pairs_batch_00001"] or []:
+        for r in catalog.read(p).collect():
+            found.add((r["a_id"], r["b_id"]))
+    golden = {(a, b) for a, b in zip(matches["a_conv_id"], matches["b_conv_id"])}
+    # most golden near-dups detected across batches
+    assert len(found & golden) >= len(golden) * 0.7, (len(found & golden), len(golden))
