@@ -1,0 +1,68 @@
+"""Property tests (SURVEY §5e): permutation invariance of input row order
+and determinism of every seeded operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _pairs(df):
+    return sorted((r["a_id"], r["b_id"], r["sim"]) for r in df.collect())
+
+
+def test_blocking_permutation_invariance(spark, spark_corpora):
+    """Shuffling the input rows (repartition + random sort) must not change
+    the blocking join output — no operator may depend on row order."""
+    from ertransfer_spark.operators.blocking import top_k_token_join
+    from ertransfer_spark.operators.canonicalize import canonicalize
+
+    ta, tb, _ = spark_corpora
+    ra, rb = canonicalize(ta), canonicalize(tb)
+    base = _pairs(top_k_token_join(ra, rb, k=3))
+
+    ta_shuf = ta.repartition(7).orderBy(F.rand(99))
+    tb_shuf = tb.repartition(3).orderBy(F.rand(17))
+    shuf = _pairs(top_k_token_join(canonicalize(ta_shuf), canonicalize(tb_shuf), k=3))
+    assert base == shuf
+
+
+def test_split_permutation_invariance(spark, spark_corpora):
+    from ertransfer_spark.operators.blocking import top_k_token_join
+    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.operators.labeling import stratified_split
+
+    ta, tb, m = spark_corpora
+    cand = top_k_token_join(canonicalize(ta), canonicalize(tb), k=3).withColumn(
+        "label", F.lit(0)
+    )
+    s1 = stratified_split(cand)
+    s2 = stratified_split(cand.repartition(11).orderBy(F.rand(5)))
+    for name in ("train", "valid", "test"):
+        a = sorted((r["a_id"], r["b_id"]) for r in s1[name].collect())
+        b = sorted((r["a_id"], r["b_id"]) for r in s2[name].collect())
+        assert a == b, name
+
+
+def test_umc_deterministic_across_runs(spark, spark_corpora):
+    from ertransfer_spark.operators.blocking import top_k_token_join
+    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.operators.clustering import unique_mapping_clusters
+
+    ta, tb, _ = spark_corpora
+    preds = top_k_token_join(canonicalize(ta), canonicalize(tb), k=3).select(
+        "a_id", "b_id", F.col("sim").alias("prob_class1")
+    )
+    r1 = sorted((r["a_id"], r["b_id"]) for r in unique_mapping_clusters(preds, 0.1).collect())
+    r2 = sorted(
+        (r["a_id"], r["b_id"])
+        for r in unique_mapping_clusters(preds.repartition(13), 0.1).collect()
+    )
+    assert r1 == r2 and len(r1) > 0
+
+
+def test_synth_deterministic(spark):
+    from ertransfer_spark.synth import SynthConfig, generate
+
+    a1, b1, m1 = generate(SynthConfig(n_conversations=40, seed=5))
+    a2, b2, m2 = generate(SynthConfig(n_conversations=40, seed=5))
+    assert a1.equals(a2) and b1.equals(b2) and m1.equals(m2)
