@@ -63,6 +63,38 @@ def canonicalize(
     return rec
 
 
+def canonicalize_table(
+    records: DataFrame,
+    id_col: str = "id",
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Flat string-attribute tables → the same canonical record contract
+    as :func:`canonicalize` (id, agValue, tokens, token_set, shingle_set,
+    n_tokens).
+
+    This is the reference's own domain shape (tableA/tableB CSVs,
+    datasets/README.md:5-12): agValue = all non-id attributes joined with
+    ' ' after the clean-text contract (splitters/KNN-Join/
+    splitter.py:45-52). Makes the engine payload-agnostic — the blocking /
+    matching / clustering stages downstream are identical for transcripts
+    and tabular records.
+    """
+    from ertransfer_spark.functions.text import SPARK_BIGRAMS_SQL
+
+    attrs = attr_cols or [c for c in records.columns if c != id_col]
+    ag = F.concat_ws(" ", *[clean_text(F.col(c).cast("string")) for c in attrs])
+    rec = records.select(
+        F.col(id_col).alias("conv_id"), F.trim(ag).alias("agValue")
+    )
+    rec = (
+        rec.withColumn("tokens", tokens(F.col("agValue")))
+        .withColumn("token_set", distinct_tokens(F.col("agValue")))
+        .withColumn("shingle_set", F.expr(SPARK_BIGRAMS_SQL.format(ts="tokens")))
+        .withColumn("n_tokens", F.size(F.col("tokens")))
+    )
+    return rec
+
+
 def explode_turns(records: DataFrame, id_col: str = "conv_id") -> DataFrame:
     """Inverse of canonicalize (for the invariant test): records built with
     keep_turns=True back to (conv_id, turn_idx, role, text, tool) rows in
