@@ -117,6 +117,51 @@ def train_matcher(
     return Pipeline(stages=stages).fit(featurized_train)
 
 
+def train_unsupervised(
+    featurized: DataFrame,
+    seed: int = 42,
+    feature_cols: list[str] | None = None,
+):
+    """ZeroER-style unsupervised matcher (SURVEY M5): a 2-component
+    Gaussian mixture over the similarity-feature vectors — the match
+    component is the one with the higher mean jaccard feature
+    (methods/zeroer/entrypoint.py:53-66 fits a GMM over
+    py_entitymatching features; its transitivity constraint is our
+    clustering stage's connected components).
+
+    Returns (PipelineModel, match_component_index). Scoring: posterior
+    probability of the match component (see :func:`score_unsupervised`).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = feature_cols or FEATURES
+    assembler = VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="keep")
+    gmm = GaussianMixture(k=2, seed=seed, featuresCol="features", probabilityCol="_posterior")
+    model = Pipeline(stages=[assembler, gmm]).fit(featurized)
+    means = model.stages[-1].gaussiansDF.select("mean").collect()
+    jac_idx = cols.index("jaccard_tokens") if "jaccard_tokens" in cols else 0
+    match_comp = int(max(range(2), key=lambda i: float(means[i]["mean"][jac_idx])))
+    return model, match_comp
+
+
+def score_unsupervised(
+    model_and_comp,
+    featurized: DataFrame,
+    keep_cols: tuple = ("a_id", "b_id", "label"),
+) -> DataFrame:
+    """Posterior of the match component → (*keep_cols, prob_class1)."""
+    from pyspark.ml.functions import vector_to_array
+
+    model, match_comp = model_and_comp
+    scored = model.transform(featurized)
+    cols = [c for c in keep_cols if c in featurized.columns]
+    return scored.select(
+        *cols, vector_to_array("_posterior")[match_comp].alias("prob_class1")
+    )
+
+
 def kmeans_probs(preds: DataFrame, k: int = 2, prob_col: str = "prob_class1", seed: int = 42) -> DataFrame:
     """M6 diagnostic: KMeans over the probability column
     (clustering/Probabilities/sklearn_clusters.py:3-28) → + kmeans_cluster."""

@@ -139,17 +139,24 @@ class ERPipeline:
         labeled = self._stage("labeled", _label, resume) if golden is not None else cand
 
         def _predict():
-            if golden is not None:
+            if golden is not None and cfg.algorithm != "unsupervised":
                 splits = stratified_split(labeled, cfg.split_weights, cfg.seed)
                 train_ft = featurize(attach_pair_text(splits["train"], ra, rb))
                 model = train_matcher(train_ft, algorithm=cfg.algorithm, seed=cfg.seed)
                 all_ft = featurize(attach_pair_text(labeled, ra, rb))
                 preds = score(model, all_ft)
             else:
-                # unsupervised fallback: blocking similarity as the score
-                preds = labeled.select(
-                    "a_id", "b_id", F.lit(0).alias("label"), F.col("sim").alias("prob_class1")
+                # no labels (or algorithm="unsupervised"): ZeroER-style GMM
+                # over the similarity features — the reference paper's
+                # no-labelled-instances regime (SURVEY M5)
+                from ertransfer_spark.operators.matcher import (
+                    score_unsupervised,
+                    train_unsupervised,
                 )
+
+                all_ft = featurize(attach_pair_text(labeled, ra, rb))
+                um = train_unsupervised(all_ft, seed=cfg.seed)
+                preds = score_unsupervised(um, all_ft)
             return preds, [{"candidate_count": preds.count()}]
 
         preds = self._stage("predictions", _predict, resume)

@@ -63,3 +63,16 @@ def test_snapshot_catalog_atomicity(spark, tmp_path):
     assert cat.read("t", "snap-00000").count() == 10
     m = cat.manifest("t")
     assert m["snapshot"] == "snap-00001"
+
+
+def test_unsupervised_pipeline_no_labels(spark, spark_corpora, tmp_path):
+    """ZeroER regime: NO golden matches given to the pipeline — the GMM
+    matcher + fixed threshold must still recover the duplicate pairs
+    (evaluated against the golden set only afterwards, externally)."""
+    from ertransfer_spark.operators.clustering import pairwise_metrics
+
+    ta, tb, matches = spark_corpora
+    pipe = ERPipeline(spark, str(tmp_path / "unsup"), PipelineConfig(k=5))
+    out = pipe.run(ta, tb, golden_matches=None, resume=False)
+    m = pairwise_metrics(out["matched_pairs"], matches)
+    assert m["f1"] >= 0.9, m
