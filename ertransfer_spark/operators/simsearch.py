@@ -162,6 +162,76 @@ def cosine_neardup_pairs(
     )
 
 
+def embed_records(
+    records: DataFrame,
+    tokens_col: str = "token_set",
+    id_col: str = "conv_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic feature-hashed embedding of a token-set column →
+    (id_col, embedding: array<double>, L2-normalized).
+
+    The DeepBlocker analog (SURVEY J2) without a learned autoencoder: each
+    token adds ±1 (sign from a second hash) to dimension hash(token) % dim
+    — classic feature hashing / SimHash-style projection, entirely native
+    Column expressions (explode → groupBy id,dim → pivot-free array
+    assembly), deterministic and model-free. Cosine on these embeddings
+    approximates token-set similarity, so the generic vector joins
+    (:func:`lsh_topk`, :func:`brute_force_topk`, :func:`ivf_topk`) become
+    blockers for any record corpus.
+    """
+    posts = records.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_col).alias("tok")
+    )
+    contrib = posts.select(
+        "_id",
+        F.pmod(F.hash("tok"), F.lit(dim)).alias("d"),
+        (F.pmod(F.hash("tok", F.lit(1)), F.lit(2)) * 2 - 1).cast("double").alias("v"),
+    )
+    sparse = contrib.groupBy("_id", "d").agg(F.sum("v").alias("val"))
+    vecs = sparse.groupBy("_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("d", "val"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0.0)),
+    )
+    out = vecs.select(F.col("_id").alias(id_col), dense.alias("_raw"))
+    norm = F.sqrt(
+        F.aggregate(F.zip_with("_raw", "_raw", lambda a, b: a * b), F.lit(0.0), lambda x, v: x + v)
+    )
+    return out.select(
+        id_col,
+        F.when(
+            norm > 0, F.transform("_raw", lambda x: x / norm)
+        ).otherwise(F.col("_raw")).alias("embedding"),
+    )
+
+
+def vector_blocking(
+    records_a: DataFrame,
+    records_b: DataFrame,
+    k: int = 5,
+    tokens_col: str = "token_set",
+    id_col: str = "conv_id",
+    dim: int = 128,
+    n_planes: int = 6,
+    n_tables: int = 12,
+) -> DataFrame:
+    """J2 as a blocker: feature-hash both sides, hyperplane-LSH candidate
+    join, exact cosine top-k → (a_id, b_id, sim) candidate pairs."""
+    ea = embed_records(records_a, tokens_col, id_col, dim)
+    eb = embed_records(records_b, tokens_col, id_col, dim)
+    out = lsh_topk(
+        ea, eb, k=k, id_col=id_col, vec_col="embedding",
+        n_planes=n_planes, n_tables=n_tables,
+    )
+    return out.select(
+        F.col("query_id").alias("a_id"), F.col("nbr_id").alias("b_id"),
+        F.col("sim_r").alias("sim"),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -48,6 +48,7 @@ class PipelineConfig:
     metric: str = "jaccard"
     tokens_col: str = "shingle_set"  # blocking token column from canonicalize
     salt: int = 4                    # posting-join salt (hot-token spread)
+    blocker: str = "token"           # token (J1) | vector (J2 feature-hash LSH)
     max_token_df: int | None = None
     posting_budget: int | None = None
     min_sim: float = 0.0
@@ -108,11 +109,16 @@ class ERPipeline:
         )
 
         def _block():
-            cand = top_k_token_join(
-                ra, rb, k=cfg.k, metric=cfg.metric, tokens_col=cfg.tokens_col, salt=cfg.salt,
-                max_token_df=cfg.max_token_df, posting_budget=cfg.posting_budget,
-                min_sim=cfg.min_sim,
-            )
+            if cfg.blocker == "vector":
+                from ertransfer_spark.operators.simsearch import vector_blocking
+
+                cand = vector_blocking(ra, rb, k=cfg.k, tokens_col=cfg.tokens_col)
+            else:
+                cand = top_k_token_join(
+                    ra, rb, k=cfg.k, metric=cfg.metric, tokens_col=cfg.tokens_col, salt=cfg.salt,
+                    max_token_df=cfg.max_token_df, posting_budget=cfg.posting_budget,
+                    min_sim=cfg.min_sim,
+                )
             # per-block lineage from the token-frequency histogram
             hist = block_histogram(ra, tokens_col=cfg.tokens_col).collect()
             lineage = [

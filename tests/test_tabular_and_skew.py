@@ -102,3 +102,18 @@ def test_skew_fixture_hot_token_and_mega_conversation(spark):
         ra, rb, k=3, tokens_col="shingle_set", posting_budget=50, salt=4
     )
     assert budgeted.count() > 0
+
+
+def test_vector_blocking_recall(spark, spark_corpora):
+    """J2 as a blocker: feature-hashed embeddings + hyperplane LSH must
+    recover nearly all golden near-dup pairs on the synth corpora."""
+    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.operators.simsearch import vector_blocking
+
+    ta, tb, matches = spark_corpora
+    ra, rb = canonicalize(ta), canonicalize(tb)
+    cand = vector_blocking(ra, rb, k=5, tokens_col="shingle_set")
+    got = {(r["a_id"], r["b_id"]) for r in cand.collect()}
+    golden = {(r["a_conv_id"], r["b_conv_id"]) for r in matches.collect()}
+    recall = len(got & golden) / len(golden)
+    assert recall >= 0.9, recall
