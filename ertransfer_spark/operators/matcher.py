@@ -136,9 +136,19 @@ def train_unsupervised(
     from pyspark.ml.clustering import GaussianMixture
     from pyspark.ml.feature import VectorAssembler
 
+    # GMM initialization samples rows, so the fit is only deterministic if
+    # the data LAYOUT is: snapshot parquet part-files land in
+    # task-completion order, which varies run to run. Hash-repartition +
+    # in-partition sort pins the layout (and thus the seeded init) to the
+    # data itself.
+    if {"a_id", "b_id"} <= set(featurized.columns):
+        featurized = featurized.repartition(8, "a_id").sortWithinPartitions("a_id", "b_id")
     cols = feature_cols or FEATURES
     assembler = VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="keep")
-    gmm = GaussianMixture(k=2, seed=seed, featuresCol="features", probabilityCol="_posterior")
+    gmm = GaussianMixture(
+        k=2, seed=seed, featuresCol="features", probabilityCol="_posterior",
+        maxIter=200, tol=1e-5,
+    )
     model = Pipeline(stages=[assembler, gmm]).fit(featurized)
     means = model.stages[-1].gaussiansDF.select("mean").collect()
     jac_idx = cols.index("jaccard_tokens") if "jaccard_tokens" in cols else 0
