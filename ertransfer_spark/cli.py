@@ -1,0 +1,133 @@
+"""Command-line entry point mirroring the reference's operational surface.
+
+The reference is driven as per-stage argparse programs over a dataset
+directory holding ``tableA.csv``, ``tableB.csv``, ``matches.csv``
+(splitters/KNN-Join/splitter.py:135-207, methods/*/entrypoint.py,
+clustering/Probabilities/entrypoint.py:51-109). This CLI runs the same
+contract end-to-end on Spark — a reference user points it at the same
+dataset directory and gets the same artifact kinds back:
+
+    python -m ertransfer_spark.cli run <dataset_dir> <out_dir> \
+        [--k 5] [--algorithm logreg|gbt|unsupervised] [--clustering umc|ec] \
+        [--threshold T] [--cpus N]
+
+Outputs in <out_dir>:
+    train.csv / valid.csv / test.csv   labeled candidate pairs (60/20/20)
+    predictions.csv                    a_id, b_id, label, prob_class1
+    clusters.csv                       node, side, raw_id, cluster_id
+    metrics.txt                        f1/precision/recall + stage walls
+    snapshots/                         resumable per-stage snapshots + lineage
+
+Also usable via spark-submit (it builds its own session):
+    spark-submit --py-files ertransfer_spark.zip -m ... # or the module path
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ertransfer_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run", help="full blocking→matching→clustering pipeline")
+    run.add_argument("dataset_dir", help="dir with tableA.csv tableB.csv [matches.csv]")
+    run.add_argument("out_dir")
+    run.add_argument("--k", type=int, default=5)
+    run.add_argument("--metric", default="jaccard")
+    run.add_argument("--algorithm", default="logreg", choices=["logreg", "gbt", "unsupervised"])
+    run.add_argument("--clustering", default="umc", choices=["umc", "ec"])
+    run.add_argument("--threshold", type=float, default=None)
+    run.add_argument("--tokens", default="token_set", choices=["token_set", "shingle_set"])
+    run.add_argument("--cpus", type=int, default=None)
+    run.add_argument("--no-resume", action="store_true")
+    return p
+
+
+def cmd_run(args) -> int:
+    from ertransfer_spark.operators.canonicalize import canonicalize_table
+    from ertransfer_spark.operators.labeling import attach_labels, stratified_split
+    from ertransfer_spark.plans.pipeline import ERPipeline, PipelineConfig
+    from ertransfer_spark.session import get_spark
+    from ertransfer_spark.sources.normalizer import (
+        read_csv_normalized,
+        read_matches_normalized,
+    )
+
+    ds = Path(args.dataset_dir)
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    spark = get_spark("ertransfer-cli", cpus=args.cpus)
+    t0 = time.time()
+
+    ta = read_csv_normalized(spark, str(ds / "tableA.csv"))
+    tb = read_csv_normalized(spark, str(ds / "tableB.csv"))
+    matches_path = ds / "matches.csv"
+    matches = None
+    if matches_path.exists():
+        from pyspark.sql import functions as F
+
+        # operators resolve match-edge sides by the a*/b* prefix convention
+        matches = read_matches_normalized(spark, str(matches_path)).select(
+            F.col("tableA_id").alias("a_conv_id"),
+            F.col("tableB_id").alias("b_conv_id"),
+        )
+
+    ra = canonicalize_table(ta).cache()
+    rb = canonicalize_table(tb).cache()
+
+    cfg = PipelineConfig(
+        k=args.k, metric=args.metric, algorithm=args.algorithm,
+        clustering=args.clustering, threshold=args.threshold,
+        tokens_col=args.tokens,
+    )
+    pipe = ERPipeline(spark, str(out / "snapshots"), cfg)
+
+    # the pipeline canonicalizes transcripts itself; for tabular inputs we
+    # inject the already-canonical records through the snapshot seam
+    pipe.catalog.commit("records_a", ra, meta={"source": str(ds / "tableA.csv")})
+    pipe.catalog.commit("records_b", rb, meta={"source": str(ds / "tableB.csv")})
+    result = pipe.run(
+        spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"),
+        spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"),
+        golden_matches=matches,
+        resume=True,  # records_a/b snapshots committed above are reused
+    )
+
+    def write_csv(df, name):
+        df.toPandas().to_csv(out / name, index=False)
+
+    if matches is not None:
+        labeled = pipe.catalog.read("labeled")
+        splits = stratified_split(labeled, cfg.split_weights, cfg.seed)
+        for split_name, df in splits.items():
+            write_csv(df, f"{split_name}.csv")
+    write_csv(result["predictions"], "predictions.csv")
+    write_csv(result["clusters"], "clusters.csv")
+
+    wall = time.time() - t0
+    lines = [f"wall_s: {wall:.1f}"]
+    if "metrics" in result:
+        for k, v in result["metrics"].items():
+            lines.append(f"{k}: {v}")
+    (out / "metrics.txt").write_text("\n".join(lines) + "\n")
+    print(json.dumps({"out_dir": str(out), "wall_s": round(wall, 1),
+                      **({k: round(float(v), 4) for k, v in result.get("metrics", {}).items()
+                          if k in ("f1", "precision", "recall")})}))
+    spark.stop()
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "run":
+        return cmd_run(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,47 @@
+"""End-to-end CLI test on the reference's file contract (tableA.csv,
+tableB.csv, matches.csv → train/valid/test/predictions/clusters/metrics)."""
+
+from __future__ import annotations
+
+import csv
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+from tests.test_tabular_and_skew import _fodors_zagats_like
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _write_csv(path, header, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+def test_cli_run_reference_contract(tmp_path):
+    rows_a, rows_b, matches = _fodors_zagats_like(n=50, seed=4)
+    ds = tmp_path / "dataset"
+    ds.mkdir()
+    _write_csv(ds / "tableA.csv", ["id", "name", "phone_number", "street"], rows_a)
+    _write_csv(ds / "tableB.csv", ["id", "name", "phone_number", "street"], rows_b)
+    _write_csv(ds / "matches.csv", ["D1", "D2"], matches)  # reference alias names
+
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "ertransfer_spark.cli", "run", str(ds), str(out_dir),
+         "--k", "5", "--cpus", "4"],
+        capture_output=True, text=True, cwd=str(REPO), timeout=500,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary["f1"] >= 0.9, summary
+
+    for artifact in ["train.csv", "valid.csv", "test.csv", "predictions.csv",
+                     "clusters.csv", "metrics.txt"]:
+        assert (out_dir / artifact).exists(), artifact
+    with open(out_dir / "predictions.csv") as f:
+        header = f.readline().strip().split(",")
+    assert {"a_id", "b_id", "label", "prob_class1"} <= set(header)
