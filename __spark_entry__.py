@@ -211,6 +211,22 @@ def q_reciprocal_top1(spark, sf_dir):
     )
 
 
+def q_snm_blocking(spark, sf_dir):
+    """Sorted-neighborhood blocking (SURVEY J1-adjacent cheap blocker):
+    union both sides sorted by token count, emit cross-side pairs within
+    a window of 5 positions. The global rank is two-phase (range-partition
+    offsets + local row_number), never a single-partition sort."""
+    from ertransfer_spark.operators.blocking import sorted_neighborhood
+
+    d = _doc_shingles(spark, sf_dir).withColumn("n_tok", F.size("s"))
+    a = d.filter(F.col("id") % 2 == 0).select(F.col("id").alias("conv_id"), F.col("n_tok"))
+    b = d.filter(F.col("id") % 2 == 1).select(F.col("id").alias("conv_id"), F.col("n_tok"))
+    out = sorted_neighborhood(a, b, key_col="n_tok", window=5)
+    return out.select(
+        F.col("a_id").cast("long").alias("a_id"), F.col("b_id").cast("long").alias("b_id")
+    )
+
+
 def q_threshold_sweep(spark, sf_dir):
     """M4: single-pass F1 sweep over prob buckets (label = same lang)."""
     s = _scored_pairs(spark, sf_dir).select(
@@ -600,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_stats": q_tokenize_stats,
         "qgram_profile": q_qgram_profile,
         "topk_token_join": q_topk_token_join,
+        "snm_blocking": q_snm_blocking,
         "reciprocal_top1": q_reciprocal_top1,
         "threshold_sweep": q_threshold_sweep,
         "stratified_split": q_stratified_split,
@@ -678,6 +695,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim_r DESC, b_id) AS rk
               FROM scored
             ) WHERE rk <= 5
+        """,
+        "snm_blocking": f"""
+            WITH tk AS (
+              SELECT CAST(doc_id AS BIGINT) AS id, {TOKS_DUCK} AS ts FROM documents
+            ), shd AS (
+              SELECT id, {BIGRAMS_DUCK} AS s FROM tk
+            ), u AS (
+              SELECT id AS rid, len(s) AS key,
+                     CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+              FROM shd
+            ), ranked AS (
+              SELECT rid, side, row_number() OVER (ORDER BY key, rid) AS rn FROM u
+            )
+            SELECT DISTINCT
+                   CASE WHEN x.side = 'a' THEN x.rid ELSE y.rid END AS a_id,
+                   CASE WHEN x.side = 'a' THEN y.rid ELSE x.rid END AS b_id
+            FROM ranked x JOIN ranked y
+              ON y.rn BETWEEN x.rn + 1 AND x.rn + 5 AND x.side <> y.side
         """,
         "reciprocal_top1": SQL_SCORED + f"""
             , filt AS (SELECT * FROM scored WHERE sim_r > {EC_THRESHOLD})
