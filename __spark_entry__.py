@@ -896,11 +896,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "binary_meta": """
+            -- byte_sum is over the UTF-8 ENCODED payload (hex-pair
+            -- decode of encode(text)), matching the Spark side exactly
+            -- for non-ASCII text too.
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
-                   CAST(CASE WHEN length(coalesce(text, '')) = 0 THEN 0
-                        ELSE list_sum(list_transform(range(1, 1 + length(coalesce(text, ''))),
-                                                     i -> ascii(substr(coalesce(text, ''), i, 1))))
+                   CAST(CASE WHEN octet_length(encode(coalesce(text, ''))) = 0 THEN 0
+                        ELSE list_sum(list_transform(range(1, 1 + octet_length(encode(coalesce(text, '')))),
+                                i -> 16 * (strpos('0123456789ABCDEF', substr(hex(encode(coalesce(text, ''))), 2*i-1, 1)) - 1)
+                                     + (strpos('0123456789ABCDEF', substr(hex(encode(coalesce(text, ''))), 2*i, 1)) - 1)))
                         END AS BIGINT) AS byte_sum,
                    CASE WHEN octet_length(encode(coalesce(text, ''))) = 0 THEN 'empty'
                         WHEN octet_length(encode(coalesce(text, ''))) < 256 THEN 'small'

@@ -91,11 +91,16 @@ def cmd_run(args) -> int:
     # inject the already-canonical records through the snapshot seam
     pipe.catalog.commit("records_a", ra, meta={"source": str(ds / "tableA.csv")})
     pipe.catalog.commit("records_b", rb, meta={"source": str(ds / "tableB.csv")})
+    # --no-resume must still honor the records_a/b snapshots committed just
+    # above (the tabular-input injection seam): commit() always wrote a NEW
+    # snapshot, so even with downstream resume disabled the freshest records
+    # are what the pipeline reads. Every later stage is recomputed.
     result = pipe.run(
         spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"),
         spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"),
         golden_matches=matches,
-        resume=True,  # records_a/b snapshots committed above are reused
+        resume=not args.no_resume,
+        resume_records=True,
     )
 
     def write_csv(df, name):

@@ -68,8 +68,12 @@ def unique_mapping_clusters(
     total order (prob DESC, a_id ASC, b_id ASC), then drop all edges
     touching matched ids. Converges in O(longest augmenting chain)
     rounds; each frontier is localCheckpoint()ed to cut lineage.
+
+    Threshold boundary is INCLUSIVE: the reference greedy breaks on
+    ``prob < threshold`` (clustering/Probabilities/clustering.py:48-49),
+    i.e. edges with prob == threshold are still considered.
     """
-    remaining = predictions.filter(F.col(prob_col) > threshold).select(
+    remaining = predictions.filter(F.col(prob_col) >= threshold).select(
         "a_id", "b_id", F.col(prob_col).alias("prob")
     )
     remaining = remaining.localCheckpoint()
@@ -167,16 +171,28 @@ def tune_threshold_runs(
     and evaluate on the rest; report mean/std of threshold and holdout F1
     (clustering/Probabilities/clustering.py:70-102, mean/std at :87-91).
 
-    Splits are deterministic hash-buckets per run seed (order-independent),
-    and every run reuses ONE pass per sweep — never 100 rescans.
+    The tune split is EXACTLY label-stratified like the reference's
+    ``train_test_split(..., stratify=data['label'])``
+    (clustering/Probabilities/clustering.py:77): within each label stratum,
+    rows are ranked by a per-run seeded hash and the first
+    ``round(frac · n_label)`` go to tune — deterministic,
+    order-independent, and per-label fractions exact to ±1 row. The
+    per-label window runs over the LABELED pair set (bounded — golden sets
+    are dim-sized), so the 2-partition window is not a scale concern.
+    Std is the sample std (ddof=1) like the reference's np.std call.
     """
     import statistics
 
     thresholds, f1s = [], []
     for r in range(n_runs):
-        bucket = F.pmod(F.xxhash64("a_id", "b_id", F.lit(seed + r)), F.lit(100))
-        tune = predictions.filter(bucket < int(tune_fraction * 100))
-        rest = predictions.filter(bucket >= int(tune_fraction * 100))
+        h = F.xxhash64("a_id", "b_id", F.lit(seed + r))
+        w_rank = Window.partitionBy(label_col).orderBy(h, "a_id", "b_id")
+        w_cnt = Window.partitionBy(label_col)
+        ranked = predictions.withColumn("_rn", F.row_number().over(w_rank)).withColumn(
+            "_cut", F.round(F.count(F.lit(1)).over(w_cnt) * tune_fraction)
+        )
+        tune = ranked.filter(F.col("_rn") <= F.col("_cut")).drop("_rn", "_cut")
+        rest = ranked.filter(F.col("_rn") > F.col("_cut")).drop("_rn", "_cut")
         t = best_threshold(tune, label_col=label_col, prob_col=prob_col)
         sweep_rest = threshold_sweep(rest, label_col=label_col, prob_col=prob_col)
         f1 = next(
@@ -184,11 +200,12 @@ def tune_threshold_runs(
         )
         thresholds.append(t)
         f1s.append(f1)
+    std = statistics.stdev if n_runs > 1 else (lambda _: 0.0)
     return {
         "threshold_mean": statistics.mean(thresholds),
-        "threshold_std": statistics.pstdev(thresholds),
+        "threshold_std": std(thresholds),
         "f1_mean": statistics.mean(f1s),
-        "f1_std": statistics.pstdev(f1s),
+        "f1_std": std(f1s),
         "runs": n_runs,
     }
 

@@ -69,9 +69,9 @@ def top_k_join(recs_a: pd.DataFrame, recs_b: pd.DataFrame, k: int, min_sim: floa
 
 def umc_greedy(preds: pd.DataFrame, threshold: float = 0.5) -> pd.DataFrame:
     """Sequential greedy 1-1 matching, verbatim reference semantics
-    (clustering.py:42-67) with the pinned total order
-    (prob DESC, a_id ASC, b_id ASC)."""
-    d = preds[preds["prob"] > threshold].sort_values(
+    (clustering.py:42-67: breaks on prob < threshold, so the boundary is
+    INCLUSIVE) with the pinned total order (prob DESC, a_id ASC, b_id ASC)."""
+    d = preds[preds["prob"] >= threshold].sort_values(
         ["prob", "a_id", "b_id"], ascending=[False, True, True]
     )
     seen_a: set = set()

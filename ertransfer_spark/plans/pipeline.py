@@ -98,14 +98,20 @@ class ERPipeline:
         transcripts_b: DataFrame,
         golden_matches: DataFrame | None = None,
         resume: bool = True,
+        resume_records: bool | None = None,
     ) -> dict:
+        """``resume_records`` overrides ``resume`` for the records_a/b
+        stages only — the tabular-injection seam (cli.py) commits canonical
+        records before calling run() and those must be honored even under
+        ``--no-resume`` (which recomputes every downstream stage)."""
         cfg = self.cfg
+        rec_resume = resume if resume_records is None else resume_records
 
         ra = self._stage(
-            "records_a", lambda: (canonicalize(transcripts_a), [{"candidate_count": transcripts_a.count()}]), resume
+            "records_a", lambda: (canonicalize(transcripts_a), [{"candidate_count": transcripts_a.count()}]), rec_resume
         )
         rb = self._stage(
-            "records_b", lambda: (canonicalize(transcripts_b), [{"candidate_count": transcripts_b.count()}]), resume
+            "records_b", lambda: (canonicalize(transcripts_b), [{"candidate_count": transcripts_b.count()}]), rec_resume
         )
 
         def _block():

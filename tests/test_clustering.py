@@ -38,6 +38,9 @@ HAND = [
     ("a4", "b3", 0.7),
     # sub-threshold
     ("a5", "b5", 0.3),
+    # EXACTLY at threshold 0.5 — reference greedy breaks on prob < t,
+    # so this edge must be accepted (inclusive boundary)
+    ("a6", "b6", 0.5),
 ]
 
 
@@ -47,6 +50,8 @@ def test_umc_equals_sequential_greedy_hand_case(spark):
         pd.DataFrame(HAND, columns=["a_id", "b_id", "prob"]), threshold=0.5
     )
     assert set(zip(got["a_id"], got["b_id"])) == set(zip(want["a_id"], want["b_id"]))
+    # the equal-to-threshold edge is kept by both engines
+    assert ("a6", "b6") in set(zip(got["a_id"], got["b_id"]))
 
 
 def test_umc_equals_greedy_random(spark):
