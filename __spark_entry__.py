@@ -82,14 +82,19 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → pair agg → jaccard. A = even ids, B = odd ids.
     Columns: a_id b_id overlap a_size b_size a_lang b_lang sim_r."""
     d = _doc_shingles(spark, sf_dir)
+    # posting keys are xxhash64(shingle) longs, not the shingle strings —
+    # join results are identical (a 64-bit collision merging two posting
+    # lists has P ≈ n²/2⁶⁵ over distinct shingles) and the join/df-cap
+    # shuffle rows shrink from ~25-byte strings to 8-byte longs. The SQL
+    # oracle keeps the string keys: the OUTPUT is key-agnostic.
     a = d.filter(F.col("id") % 2 == 0).select(
         F.col("id").alias("a_id"), F.col("lang").alias("a_lang"),
         F.col("sz").alias("a_sz"), F.explode("s").alias("g"),
-    )
+    ).withColumn("g", F.xxhash64("g"))
     b = d.filter(F.col("id") % 2 == 1).select(
         F.col("id").alias("b_id"), F.col("lang").alias("b_lang"),
         F.col("sz").alias("b_sz"), F.explode("s").alias("g"),
-    )
+    ).withColumn("g", F.xxhash64("g"))
     keep = (
         a.groupBy("g").agg(F.count(F.lit(1)).alias("dfa")).filter(F.col("dfa") <= MAX_GRAM_DF)
         .join(
@@ -237,8 +242,15 @@ def q_threshold_sweep(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("label").cast("long").alias("pos"),
     )
-    w_desc = Window.orderBy(F.desc("bkt")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
+    # single-partition window is INTENTIONAL: input is ≤100 bucket rows
+    # (the grid), not data rows — the constant partition key makes that
+    # explicit and keeps WindowExec warnings from masking real ones
+    w_desc = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.desc("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(F.lit(1))
     out = agg.select(
         "bkt", "n", "pos",
         F.sum("n").over(w_desc).alias("pred_n"),
@@ -363,7 +375,11 @@ def q_dedup_exact_stats(spark, sf_dir):
 def q_dedup_shingle_jaccard(spark, sf_dir):
     """n-gram (word-bigram shingle) jaccard near-dup pairs, self-join."""
     d = _doc_shingles(spark, sf_dir)
-    p = d.select("id", "sz", F.explode("s").alias("g"))
+    # hashed posting keys (see _scored_pairs) — identical output, smaller
+    # self-join shuffle
+    p = d.select("id", "sz", F.explode("s").alias("g")).withColumn(
+        "g", F.xxhash64("g")
+    )
     keep = p.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_GRAM_DF
     ).select("g")
@@ -440,12 +456,15 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: KMeans cells + n_probe nearest-cell search (approximate,
-    KMeans-dependent — rows-only check; recall tested in tests/)."""
+    """IVF ANN, deterministic 'seeded' variant: cells from portable
+    id-hash seeds + n_probe nearest-cell search — every step has a DuckDB
+    twin, so this ANN operator is fully value-verified. The KMeans-cell
+    variant (better cells, engine-specific fit) is recall-tested in
+    tests/."""
     from ertransfer_spark.operators.simsearch import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, e, k=5, n_lists=8, n_probe=3)
+    return ivf_topk(e, e, k=5, n_lists=8, n_probe=3, method="seeded")
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -571,6 +590,20 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+def q_kl_association(spark, sf_dir):
+    """A6 FULL protocol (dataset association for transfer ER): each a-side
+    lang is a candidate 'labeled dataset'; the target is the whole scored
+    pair set. Per candidate: shared-range 100-bin histograms, LS
+    smoothing, KL(target ‖ candidate); rk=1 is the dataset whose matcher
+    the target would reuse (methods/embeddings/entrypoint.py:234-268)."""
+    from ertransfer_spark.operators.transfer import kl_association
+
+    s = _scored_pairs(spark, sf_dir)
+    cand = s.select(F.col("a_lang").alias("dataset"), F.col("sim_r").alias("sim"))
+    target = s.select(F.col("sim_r").alias("sim"))
+    return kl_association(cand, target)
+
+
 def q_kl_divergence(spark, sf_dir):
     """A6: Laplace-smoothed KL divergence between the value distributions
     of purchase vs click events over a fixed 20-bucket grid."""
@@ -650,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_users": q_set_ops_users,
         "value_histogram": q_value_histogram,
         "kl_divergence": q_kl_divergence,
+        "kl_association": q_kl_association,
     }
 
 
@@ -665,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         minhash_portable_duckdb_sql,
         simhash_duckdb_sql,
     )
+    from ertransfer_spark.operators.simsearch import ivf_seeded_duckdb_sql
 
     norm = DUCKDB_NORM.format(col="text")
     label_int = f"CAST(CASE WHEN {LABEL_EXPR} THEN 1 ELSE 0 END AS BIGINT)"
@@ -846,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pr WHERE round(overlap / (a_sz + b_sz - overlap), 6) >= 0.6
         """,
         "dedup_minhash_lsh": minhash_portable_duckdb_sql(),
+        "ann_ivf_topk": ivf_seeded_duckdb_sql(k=5, n_lists=8, n_probe=3),
         "simhash": simhash_duckdb_sql("text"),
         "doc_fingerprints": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -954,6 +990,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "kl_association": SQL_SCORED + """
+            , tstats AS (
+              SELECT min(sim_r) AS mn, max(sim_r) AS mx,
+                     CAST(count(*) AS DOUBLE) AS tn
+              FROM scored
+            ), ranges AS (
+              SELECT a_lang AS dataset,
+                     least(min(sim_r), (SELECT mn FROM tstats)) AS lo,
+                     greatest(max(sim_r), (SELECT mx FROM tstats)) AS hi,
+                     count(*) AS n_pairs
+              FROM scored GROUP BY a_lang
+            ), cb AS (
+              SELECT r.dataset,
+                     CAST(least(CASE WHEN r.hi > r.lo
+                                THEN floor((s.sim_r - r.lo) * 100 / (r.hi - r.lo))
+                                ELSE 0 END, 99) AS BIGINT) AS b,
+                     count(*) AS qc
+              FROM scored s JOIN ranges r ON s.a_lang = r.dataset
+              GROUP BY 1, 2
+            ), tb AS (
+              SELECT r.dataset,
+                     CAST(least(CASE WHEN r.hi > r.lo
+                                THEN floor((s.sim_r - r.lo) * 100 / (r.hi - r.lo))
+                                ELSE 0 END, 99) AS BIGINT) AS b,
+                     count(*) AS pc
+              FROM scored s CROSS JOIN ranges r
+              GROUP BY 1, 2
+            ), grid AS (
+              SELECT dataset, n_pairs, unnest(range(0, 100)) AS b FROM ranges
+            ), joined AS (
+              SELECT g.dataset, g.n_pairs, g.b,
+                     coalesce(tb.pc, 0) AS pc, coalesce(cb.qc, 0) AS qc
+              FROM grid g
+              LEFT JOIN tb ON tb.dataset = g.dataset AND tb.b = g.b
+              LEFT JOIN cb ON cb.dataset = g.dataset AND cb.b = g.b
+            ), kl AS (
+              SELECT dataset, n_pairs,
+                     round(sum(
+                       ((pc + (0.005 * (SELECT tn FROM tstats) / 100))
+                          / ((SELECT tn FROM tstats) * (1.0 + 0.005)))
+                       * ln(((pc + (0.005 * (SELECT tn FROM tstats) / 100))
+                              / ((SELECT tn FROM tstats) * (1.0 + 0.005)))
+                            / ((qc + n_pairs * (0.005 / 100))
+                               / (n_pairs * (1.0 + 0.005))))
+                     ), 6) AS kl_r
+              FROM joined GROUP BY dataset, n_pairs
+            )
+            SELECT dataset, CAST(n_pairs AS BIGINT) AS n_pairs, kl_r,
+                   CAST(row_number() OVER (ORDER BY kl_r, dataset) AS BIGINT) AS rk
+            FROM kl
         """,
         "kl_divergence": """
             WITH cnts AS (

@@ -81,7 +81,10 @@ def top_k_token_join(
     posting_budget: int | None = None,
     min_sim: float = 0.0,
     salt: int = 1,
+    salt_hot_product: int | None = None,
     hash_tokens: bool = False,
+    skinny_postings: bool = False,
+    topk_mode: str = "window",
     reverse: bool = False,
 ) -> DataFrame:
     """Top-K similarity join → (a_id, b_id, overlap, a_size, b_size, sim).
@@ -98,6 +101,25 @@ def top_k_token_join(
     splits by input size, not output product, so it cannot fix this).
     Results are identical for any salt value.
 
+    ``salt_hot_product`` (with ``salt > 1``) salts ONLY tokens whose
+    dfa·dfb join-output product exceeds the given budget, instead of
+    replicating the whole B posting list ``salt``× — same skew protection
+    (a partition's output for token t is dfa·dfb ≤ budget after splitting),
+    a fraction of the shuffle bytes. Costs one small df agg per side
+    (map-side-combined counts, broadcast keep-set).
+
+    ``skinny_postings`` (set semantics only) drops the size column from the
+    posting rows and re-attaches sizes AFTER the pair aggregation via a
+    broadcast join against the per-record size table — posting shuffle rows
+    shrink to (token, id).
+
+    ``topk_mode='agg'`` replaces the per-a_id row_number window with a
+    groupBy(a_id) collect_list → array_sort → slice(k) aggregation: same
+    result and tie-breaks (sim DESC, b_id ASC on the ROUNDED-per-metric
+    value is not applied here — raw sim, like the window), but the second
+    exchange carries partially-merged arrays and sorts per group instead
+    of full-partition sorting under WindowExec.
+
     ``reverse`` runs the join with the sides swapped (top-K kept per
     B-record) and re-orients the output columns — J3 parity with the
     reference's build-side switch (splitters/KNN-Join/splitter.py:54-71,
@@ -109,7 +131,8 @@ def top_k_token_join(
             records_b, records_a, k=k, metric=metric, id_col=id_col,
             tokens_col=tokens_col, multiset=multiset, max_token_df=max_token_df,
             posting_budget=posting_budget, min_sim=min_sim, salt=salt,
-            hash_tokens=hash_tokens, reverse=False,
+            salt_hot_product=salt_hot_product, hash_tokens=hash_tokens,
+            skinny_postings=skinny_postings, topk_mode=topk_mode, reverse=False,
         )
         return swapped.select(
             F.col("b_id").alias("a_id"),
@@ -120,8 +143,34 @@ def top_k_token_join(
             "sim",
         )
 
-    pa = _postings(records_a, id_col, tokens_col, "a", multiset, posting_budget)
-    pb = _postings(records_b, id_col, tokens_col, "b", multiset, posting_budget)
+    skinny = skinny_postings and not multiset
+    if skinny:
+        # postings shrink to (token, id); sizes re-attached post-agg
+        def _skinny_posts(records: DataFrame, side: str) -> DataFrame:
+            posts = records.select(
+                F.col(id_col).alias(f"{side}_id"),
+                F.explode(F.array_distinct(F.col(tokens_col))).alias("token"),
+            )
+            if posting_budget:
+                w = Window.partitionBy("token").orderBy(F.col(f"{side}_id"))
+                posts = posts.withColumn("_rn", F.row_number().over(w)).filter(
+                    F.col("_rn") <= posting_budget
+                ).drop("_rn")
+            return posts
+
+        pa = _skinny_posts(records_a, "a")
+        pb = _skinny_posts(records_b, "b")
+        sizes_a = records_a.select(
+            F.col(id_col).alias("a_id"),
+            F.size(F.array_distinct(F.col(tokens_col))).alias("a_size"),
+        )
+        sizes_b = records_b.select(
+            F.col(id_col).alias("b_id"),
+            F.size(F.array_distinct(F.col(tokens_col))).alias("b_size"),
+        )
+    else:
+        pa = _postings(records_a, id_col, tokens_col, "a", multiset, posting_budget)
+        pb = _postings(records_b, id_col, tokens_col, "b", multiset, posting_budget)
 
     if hash_tokens:
         # shrink the shuffle: join on xxhash64(token) longs instead of the
@@ -141,7 +190,34 @@ def top_k_token_join(
         pa = pa.join(F.broadcast(keep), "token")
         pb = pb.join(F.broadcast(keep), "token")
 
-    if salt > 1:
+    if salt > 1 and salt_hot_product:
+        # targeted skew split: replicate B postings ONLY for tokens whose
+        # join-output product dfa·dfb exceeds the budget. Cold tokens join
+        # un-replicated on salt key 0.
+        dfa = pa.groupBy("token").agg(F.count(F.lit(1)).alias("_dfa"))
+        dfb = pb.groupBy("token").agg(F.count(F.lit(1)).alias("_dfb"))
+        hot = (
+            dfa.join(dfb, "token")
+            .filter(F.col("_dfa") * F.col("_dfb") > salt_hot_product)
+            .select("token")
+            .withColumn("_hot", F.lit(1))
+        )
+        pa = pa.join(F.broadcast(hot), "token", "left").withColumn(
+            "_salt",
+            F.when(F.col("_hot").isNotNull(), F.pmod(F.hash("a_id"), F.lit(salt)))
+            .otherwise(F.lit(0)),
+        ).drop("_hot")
+        pb = pb.join(F.broadcast(hot), "token", "left").withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(salt - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        ).drop("_hot")
+        joined = pa.join(pb, ["token", "_salt"]).drop("_salt")
+    elif salt > 1:
         pa = pa.withColumn("_salt", F.pmod(F.hash("a_id"), F.lit(salt)))
         pb = pb.withColumn(
             "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
@@ -153,20 +229,49 @@ def top_k_token_join(
         overlap = F.sum(F.least(F.col("a_cnt"), F.col("b_cnt")))
     else:
         overlap = F.count(F.lit(1))
-    pairs = joined.groupBy("a_id", "b_id").agg(
-        overlap.alias("overlap"),
-        F.first("a_size").alias("a_size"),
-        F.first("b_size").alias("b_size"),
-    )
+    if skinny:
+        pairs = joined.groupBy("a_id", "b_id").agg(overlap.alias("overlap"))
+        pairs = pairs.join(F.broadcast(sizes_a), "a_id").join(
+            F.broadcast(sizes_b), "b_id"
+        )
+    else:
+        pairs = joined.groupBy("a_id", "b_id").agg(
+            overlap.alias("overlap"),
+            F.first("a_size").alias("a_size"),
+            F.first("b_size").alias("b_size"),
+        )
     sim = overlap_to_sim(metric, F.col("overlap"), F.col("a_size"), F.col("b_size"))
     scored = pairs.withColumn("sim", sim)
     if min_sim > 0.0:
         scored = scored.filter(F.col("sim") >= min_sim)
+    out_cols = ["a_id", "b_id", "overlap", "a_size", "b_size", "sim"]
+    if topk_mode == "agg":
+        item = F.struct(
+            (-F.col("sim")).alias("_ns"),
+            F.col("b_id").alias("b_id"),
+            F.col("overlap").alias("overlap"),
+            F.col("a_size").alias("a_size"),
+            F.col("b_size").alias("b_size"),
+            F.col("sim").alias("sim"),
+        )
+        topped = scored.groupBy("a_id").agg(
+            F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_top")
+        )
+        e = topped.select("a_id", F.explode("_top").alias("_t"))
+        return e.select(
+            "a_id",
+            F.col("_t.b_id").alias("b_id"),
+            F.col("_t.overlap").alias("overlap"),
+            F.col("_t.a_size").alias("a_size"),
+            F.col("_t.b_size").alias("b_size"),
+            F.col("_t.sim").alias("sim"),
+        )
     w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .drop("_rk")
+        .select(*out_cols)
     )
 
 
@@ -210,6 +315,37 @@ def minhash_signature(tokens_col, n_hashes: int = 64):
     )
 
 
+def minhash_band_keys(
+    records: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n_hashes: int,
+    bands: int,
+    side: str = "a",
+) -> DataFrame:
+    """({side}_id, band_idx, band_hash) LSH band keys for each record.
+
+    The columnar-aggregate signature form (explode once, n_hashes
+    ``min(hash(tok, j))`` partial-aggregable columns in one groupBy — see
+    :func:`minhash_lsh_join`). Standalone so incremental/streaming callers
+    can sign ONLY a new batch and bucket-join it against previously
+    persisted band keys (cost O(|batch|), never O(corpus))."""
+    rows = n_hashes // bands
+    posts = records.select(
+        F.col(id_col).alias(f"{side}_id"), F.explode(tokens_col).alias("tok")
+    )
+    sig = posts.groupBy(f"{side}_id").agg(
+        *[F.min(F.hash("tok", F.lit(j))).alias(f"h{j}") for j in range(n_hashes)]
+    )
+    band_cols = [
+        F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)]) for b in range(bands)
+    ]
+    return sig.select(
+        f"{side}_id",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_join(
     records_a: DataFrame,
     records_b: DataFrame,
@@ -239,25 +375,8 @@ def minhash_lsh_join(
     skew-join splits it. Records with empty token sets produce no
     signature and no candidates.
     """
-    rows = n_hashes // bands
-
-    def banded(records: DataFrame, side: str) -> DataFrame:
-        posts = records.select(
-            F.col(id_col).alias(f"{side}_id"), F.explode(tokens_col).alias("tok")
-        )
-        sig = posts.groupBy(f"{side}_id").agg(
-            *[F.min(F.hash("tok", F.lit(j))).alias(f"h{j}") for j in range(n_hashes)]
-        )
-        band_cols = [
-            F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)]) for b in range(bands)
-        ]
-        return sig.select(
-            f"{side}_id",
-            F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
-        )
-
-    ba = banded(records_a, "a")
-    bb = banded(records_b, "b")
+    ba = minhash_band_keys(records_a, id_col, tokens_col, n_hashes, bands, "a")
+    bb = minhash_band_keys(records_b, id_col, tokens_col, n_hashes, bands, "b")
     cand = ba.join(bb, ["band_idx", "band_hash"]).select("a_id", "b_id")
     if self_join:
         cand = cand.filter(F.col("a_id") < F.col("b_id"))

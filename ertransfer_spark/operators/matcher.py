@@ -200,6 +200,39 @@ def score(model, featurized: DataFrame, keep_cols: tuple = ("a_id", "b_id", "lab
     )
 
 
+def score_external(
+    pairs_with_text: DataFrame,
+    scorer,
+    keep_cols: tuple = ("a_id", "b_id", "label"),
+    sep: str = " [SEP] ",
+) -> DataFrame:
+    """The transformer-matcher seam (SURVEY M2): score candidate pairs with
+    an EXTERNAL pair scorer instead of the built-in Spark ML model.
+
+    ``scorer`` is any Arrow-batched pandas UDF ``pd.Series[str] →
+    pd.Series[float]`` over the reference's serialized-pair contract —
+    the two agValues joined with ``' [SEP] '`` (functions/text.py
+    serialize_pair, F9; methods/dader/transform.py:24-26). A fine-tuned
+    LM scorer (emtransformer/ditto/dader zoo,
+    methods/emtransformer/entrypoint.py:19-223) plugs in as
+    ``pandas_udf(lambda s: model.predict_proba(s), 'double')`` with the
+    weights broadcast — no other pipeline change: the output satisfies
+    the same (a_id, b_id, label, prob_class1) predictions contract that
+    clustering consumes (F10, methods/emtransformer/transform.py:75-79).
+
+    Input is :func:`attach_pair_text` output (a_norm/b_norm present).
+    """
+    from ertransfer_spark.functions.text import serialize_pair
+
+    cols = [c for c in keep_cols if c in pairs_with_text.columns]
+    serialized = pairs_with_text.select(
+        *cols, serialize_pair("a_norm", "b_norm", sep=sep).alias("pair_text")
+    )
+    return serialized.select(
+        *cols, scorer(F.col("pair_text")).cast("double").alias("prob_class1")
+    )
+
+
 def evaluate_predictions(preds: DataFrame, threshold: float = 0.5) -> dict:
     """F1/P/R of thresholded predictions vs labels (metrics CSV analog,
     methods/magellan/transform.py:20-35)."""

@@ -5,20 +5,27 @@ Reference precedent: DeepBlocker's exact top-K vector pairing
 matmul) and the sentence-BERT similarity scorer
 (/root/reference/methods/embeddings/get_similarity.py:4-10).
 
-Two paths, same contract (query_id, nbr_id, sim_r):
+Paths, same contract (query_id, nbr_id, sim_r):
 
-- brute_force_topk — exact baseline. Broadcast the (small) query side,
-  cross-join against the corpus, cosine as a native zip_with/aggregate
-  expression, per-query top-k window. Wall cost O(|Q|·|corpus|·d) spread
-  across executors; correct at any scale where |Q| is bounded.
-- lsh_topk — the scale path: random-hyperplane LSH. Each vector is
-  bucketed by the sign pattern of `n_planes` fixed pseudo-random
-  hyperplanes (deterministic, seeded, generated JVM-side from
-  hash(dim_index, plane, seed) — no Python, no model file). Candidates
-  share a bucket in ≥1 of `n_tables` tables; exact cosine re-rank after.
-  Shuffle width O(vectors × tables), candidates ∝ collisions.
+- brute_force_topk / cosine_neardup_pairs — the EXACT baselines,
+  structured as a distributed block-matrix sweep: both sides are
+  hash-bucketed into blocks, the (qblock, cblock) grid is materialized by
+  replication-explode, and each grid cell is scored with ONE numpy float64
+  matmul inside a cogrouped applyInPandas. No driver-side collect, no
+  crossJoin node, executor memory bounded by the block size. The cost is
+  explicitly quadratic (replication factor = block count of the other
+  side) — that is inherent to exact all-pairs; the sublinear scale paths
+  are lsh_topk / ivf_topk below.
+- lsh_topk — random-hyperplane LSH. Each vector is bucketed by the sign
+  pattern of `n_planes` fixed pseudo-random hyperplanes (deterministic,
+  seeded, generated JVM-side from hash(dim_index, plane, seed) — no
+  Python, no model file). Candidates share a bucket in ≥1 of `n_tables`
+  tables; exact cosine re-rank after. Shuffle width O(vectors × tables),
+  candidates ∝ collisions.
+- ivf_topk — inverted-file ANN: corpus partitioned into cells once,
+  queries probe the n_probe nearest cells through an equi-join.
 
-Ranking uses ROUNDED similarity (6 dp) with id tie-break so ordering is
+Ranking uses ROUNDED similarity (4 dp) with id tie-break so ordering is
 reproducible across engines and float-summation orders.
 """
 
@@ -43,6 +50,19 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
 
 
+def _normalized(M):
+    """Row-normalize, zero-norm rows stay zero (sim contract: 0.0)."""
+    import numpy as np
+
+    norm = np.sqrt((M * M).sum(axis=1))
+    scale = np.where(norm > 0, norm, 1.0)
+    return (M / scale[:, None]) * (norm > 0)[:, None]
+
+
+def _n_blocks(df: DataFrame, rows_per_block: int) -> int:
+    return max(1, -(-df.count() // rows_per_block))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -50,80 +70,70 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    rows_per_block: int = 4096,
 ) -> DataFrame:
     """Exact cosine top-k → (query_id, nbr_id, sim_r).
 
-    Self-matches (same id) are excluded. The query matrix is collected and
-    broadcast as a numpy array (callers bound |Q| — a probe set); the
-    corpus streams through an Arrow-batched mapInPandas doing ONE float64
-    matmul per batch (the north-rule vectorized-UDF path; the
-    zip_with/aggregate Column form allocates per-pair arrays and is ~10×
-    slower).
+    Distributed block-matrix sweep: queries and corpus are hash-bucketed
+    into Pq/Pc blocks of ~``rows_per_block`` vectors, each side is
+    replicated across the other side's block axis, and every (qb, cb) grid
+    cell does ONE float64 numpy matmul inside a cogrouped applyInPandas
+    (the north-rule vectorized-UDF path; the zip_with/aggregate Column
+    form allocates per-pair arrays and is ~10× slower, and a driver-side
+    collect of the query side would OOM at scale). No toPandas, no
+    crossJoin; executor memory is bounded by the block size, cost is
+    explicitly O(|Q|·|C|·d) spread across the grid.
 
-    Exactness of the per-batch prefilter: a corpus row can only reach the
-    global top-k if its sim is within one rounding step of the batch's
-    k-th largest sim (k better rows in its own batch already dominate it
-    at the final rounded ranking). The final round+rank happens in Spark
-    expressions so tie-breaks are identical to the SQL oracle.
+    Exactness of the per-cell prefilter: a corpus row can only reach the
+    global top-k if its sim is within one rounding step of its cell's
+    k-th largest sim for that query (k better rows in the same cell
+    already dominate it at the final rounded ranking). The final
+    round+rank happens in Spark expressions so tie-breaks are identical
+    to the SQL oracle. Self-matches (same id) are excluded.
     """
     import numpy as np
     import pandas as pd
 
-    q_pdf = queries.select(
-        F.col(id_col).cast("long").alias("qid"), _as_double(vec_col).alias("v")
-    ).toPandas()
-    q_ids = np.asarray(q_pdf["qid"], dtype=np.int64)
-    Q = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
-    q_norm = np.sqrt((Q * Q).sum(axis=1))
-    q_scale = np.where(q_norm > 0, q_norm, 1.0)
-    Qn = (Q / q_scale[:, None]) * (q_norm > 0)[:, None]
-    spark = corpus.sparkSession
-    bq = spark.sparkContext.broadcast((q_ids, Qn.T.copy()))
     eps = 10.0 ** (-round_dp)
+    pq = _n_blocks(queries, rows_per_block)
+    pc = _n_blocks(corpus, rows_per_block)
 
-    src = corpus.select(
-        F.col(id_col).cast("long").alias("nbr_id"), _as_double(vec_col).alias("v")
-    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("qid"), _as_double(vec_col).alias("v")
+    ).withColumn("qb", F.pmod(F.xxhash64("qid"), F.lit(pq)))
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("cid"), _as_double(vec_col).alias("v")
+    ).withColumn("cb", F.pmod(F.xxhash64("cid"), F.lit(pc)))
+    q_rep = q.withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(pc - 1))))
+    c_rep = c.withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(pq - 1))))
 
-    def search(batches):
-        ids, QnT = bq.value
-        nq = len(ids)
-        kk = min(k + 1, nq)  # +1: self-match removed after scoring
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            m_norm = np.sqrt((M * M).sum(axis=1))
-            m_scale = np.where(m_norm > 0, m_norm, 1.0)
-            Mn = (M / m_scale[:, None]) * (m_norm > 0)[:, None]
-            S = Mn @ QnT  # (batch, nq)
-            nbr = np.asarray(pdf["nbr_id"], dtype=np.int64)
-            if len(nbr) > kk:
-                kth = np.partition(S, -kk, axis=0)[-kk, :]  # per-query kth largest
-                keep_r, keep_q = np.where(S >= (kth[None, :] - eps))
-            else:
-                keep_r, keep_q = np.where(np.ones_like(S, dtype=bool))
-            out = pd.DataFrame(
-                {
-                    "query_id": ids[keep_q],
-                    "nbr_id": nbr[keep_r],
-                    "sim": S[keep_r, keep_q],
-                }
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame({"query_id": [], "nbr_id": [], "sim": []}).astype(
+                {"query_id": "int64", "nbr_id": "int64", "sim": "float64"}
             )
-            yield out[out["query_id"] != out["nbr_id"]]
+        Qn = _normalized(np.stack(left["v"].to_numpy()).astype(np.float64))
+        Mn = _normalized(np.stack(right["v"].to_numpy()).astype(np.float64))
+        S = Mn @ Qn.T  # (corpus_rows, query_rows)
+        qids = np.asarray(left["qid"], dtype=np.int64)
+        nbr = np.asarray(right["cid"], dtype=np.int64)
+        kk = min(k + 1, len(nbr))  # +1: self-match removed after scoring
+        if len(nbr) > kk:
+            kth = np.partition(S, -kk, axis=0)[-kk, :]
+            keep_r, keep_q = np.where(S >= (kth[None, :] - eps))
+        else:
+            keep_r, keep_q = np.where(np.ones_like(S, dtype=bool))
+        out = pd.DataFrame(
+            {"query_id": qids[keep_q], "nbr_id": nbr[keep_r], "sim": S[keep_r, keep_q]}
+        )
+        return out[out["query_id"] != out["nbr_id"]]
 
-    import pyspark.sql.types as T
-
-    scored = src.mapInPandas(
-        search,
-        schema=T.StructType(
-            [
-                T.StructField("query_id", T.LongType()),
-                T.StructField("nbr_id", T.LongType()),
-                T.StructField("sim", T.DoubleType()),
-            ]
-        ),
-    ).select("query_id", "nbr_id", F.round("sim", round_dp).alias("sim_r"))
+    scored = (
+        q_rep.groupBy("qb", "cb")
+        .cogroup(c_rep.groupBy("qb", "cb"))
+        .applyInPandas(score_cell, schema="query_id long, nbr_id long, sim double")
+        .select("query_id", "nbr_id", F.round("sim", round_dp).alias("sim_r"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.asc("nbr_id"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))
@@ -138,28 +148,78 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    rows_per_block: int = 4096,
 ) -> DataFrame:
     """All pairs (a_id < b_id) with cosine ≥ threshold → (a_id, b_id, sim_r).
 
-    Exact (cross-join) — callers restrict the input to a bounded subset or
-    use lsh_topk for web scale."""
-    a = with_norm(vectors, vec_col).select(
-        F.col(id_col).alias("a_id"), F.col("_v").alias("av"), F.col("_norm").alias("an")
+    Exact, as a TRIANGULAR block-matrix sweep: vectors are hash-bucketed
+    into P blocks, each unordered block pair (i ≤ j) is one cogrouped
+    applyInPandas cell scored with a single numpy float64 matmul, and the
+    diagonal cell keeps x < y. Every unordered vector pair lands in
+    exactly one cell, so no distinct is needed. Replication is O(n·P/2)
+    rows — inherent to exact all-pairs; no crossJoin node, no unbounded
+    partition, executor memory bounded by the block size. The sublinear
+    alternative at web scale is LSH candidates + exact verify (lsh_topk),
+    which trades guaranteed recall for cost ∝ collisions.
+
+    Zero-norm vectors score 0.0 against everything (dropped by any
+    positive threshold), matching the guarded column-expression form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    eps = 10.0 ** (-round_dp)
+    p = _n_blocks(vectors, rows_per_block)
+
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("vid"), _as_double(vec_col).alias("v")
+    ).withColumn("blk", F.pmod(F.xxhash64("vid"), F.lit(p)))
+    # left of cell (i, j): block i rows, for every j >= i
+    left = v.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(p - 1))).alias("bj"),
+        "vid", "v",
     )
-    b = with_norm(vectors, vec_col).select(
-        F.col(id_col).alias("b_id"), F.col("_v").alias("bv"), F.col("_norm").alias("bn")
+    # right of cell (i, j): block j rows, for every i <= j
+    right = v.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        "vid", "v",
     )
-    sim = _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            F.round(F.when((F.col("an") > 0) & (F.col("bn") > 0), sim).otherwise(F.lit(0.0)), round_dp).alias("sim_r"),
+
+    def score_cell(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "sim": []}).astype(
+            {"a_id": "int64", "b_id": "int64", "sim": "float64"}
         )
-        .filter(F.col("sim_r") >= threshold)
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        An = _normalized(np.stack(lpdf["v"].to_numpy()).astype(np.float64))
+        Bn = _normalized(np.stack(rpdf["v"].to_numpy()).astype(np.float64))
+        S = An @ Bn.T
+        x = np.asarray(lpdf["vid"], dtype=np.int64)
+        y = np.asarray(rpdf["vid"], dtype=np.int64)
+        if key[0] == key[1]:
+            mask = (S >= threshold - eps) & (x[:, None] < y[None, :])
+        else:
+            mask = S >= threshold - eps
+        r, c = np.where(mask)
+        xa, yb = x[r], y[c]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(xa, yb),
+                "b_id": np.maximum(xa, yb),
+                "sim": S[r, c],
+            }
+        )
+
+    scored = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(score_cell, schema="a_id long, b_id long, sim double")
     )
+    return scored.select(
+        "a_id", "b_id", F.round("sim", round_dp).alias("sim_r")
+    ).filter(F.col("sim_r") >= threshold)
 
 
 def embed_records(
@@ -242,16 +302,35 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     round_dp: int = 4,
+    method: str = "kmeans",
 ) -> DataFrame:
-    """IVF-style ANN: KMeans-partition the corpus into ``n_lists`` cells,
-    probe the ``n_probe`` nearest cells per query, exact cosine re-rank
-    within the probed cells → (query_id, nbr_id, sim_r), approximate.
+    """IVF-style ANN: partition the corpus into ``n_lists`` cells, probe
+    the ``n_probe`` nearest cells per query, exact cosine re-rank within
+    the probed cells → (query_id, nbr_id, sim_r), approximate.
 
-    The 100 TB shape: the corpus is clustered ONCE (Spark ML KMeans,
-    data-parallel) and stored partitioned by cell; each query touches
-    n_probe/n_lists of the data through an equi-join on cell id — no cross
-    join, no full scan. Centroids are tiny and broadcast.
+    The 100 TB shape: the corpus is clustered ONCE and stored partitioned
+    by cell; each query touches n_probe/n_lists of the data through an
+    equi-join on cell id — no cross join, no full scan. Centroids are tiny
+    and broadcast.
+
+    ``method``:
+    - ``kmeans`` — Spark ML KMeans centroids (data-parallel Lloyd; best
+      cells, but the fit is engine-specific → rows-only verification).
+    - ``seeded`` — fully deterministic: centroids are the ``n_lists``
+      corpus vectors with the smallest portable polynomial hash of their
+      id (the pinned cross-engine spec from operators/dedup.py), cell =
+      nearest seed by euclidean distance ROUNDED 6 dp with seed-rank
+      tie-break. Every step has an exact SQL twin
+      (:func:`ivf_seeded_duckdb_sql`), so the whole ANN operator is
+      value-verifiable against DuckDB. Random-seed IVF is a standard
+      variant (seeds ≈ a uniform corpus sample); recall at equal n_probe
+      is a bit below the KMeans fit, which tests assert separately.
     """
+    if method == "seeded":
+        return _ivf_topk_seeded(
+            queries, corpus, k=k, n_lists=n_lists, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+        )
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -292,7 +371,11 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "nbr_id",
-        F.round(F.when(F.col("qn") > 0, sim).otherwise(F.lit(0.0)), round_dp).alias("sim_r"),
+        # guard BOTH norms: a zero-norm corpus vector would otherwise
+        # divide by zero (DIVIDE_BY_ZERO under ANSI sessions)
+        F.round(
+            F.when((F.col("qn") > 0) & (cn > 0), sim).otherwise(F.lit(0.0)), round_dp
+        ).alias("sim_r"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.asc("nbr_id"))
     return (
@@ -300,6 +383,145 @@ def ivf_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def _ivf_topk_seeded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_lists: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    round_dp: int,
+) -> DataFrame:
+    """Deterministic IVF (see :func:`ivf_topk` method='seeded')."""
+    from ertransfer_spark.operators.dedup import _token_hash_expr
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("nbr_id"), _as_double(vec_col).alias("cv")
+    )
+    th = F.expr(_token_hash_expr("CAST(nbr_id AS STRING)"))
+    seed_rows = c.withColumn("_th", th).orderBy("_th", "nbr_id").limit(n_lists).collect()
+    cent = [
+        (i + 1, [float(x) for x in r["cv"]])
+        for i, r in enumerate(sorted(seed_rows, key=lambda r: (r["_th"], r["nbr_id"])))
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(cent, "cell int, centroid array<double>")
+
+    def dist_to(vec_col_name: str):
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col_name), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            6,
+        )
+
+    w_assign = Window.partitionBy("nbr_id").orderBy(F.asc("_d"), F.asc("cell"))
+    assigned = (
+        c.crossJoin(F.broadcast(cent_df))
+        .withColumn("_d", dist_to("cv"))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("nbr_id", "cv", "cell")
+    )
+
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_d", dist_to("qv"))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+
+    cn = F.sqrt(F.aggregate(F.zip_with("cv", "cv", lambda a, b: a * b), F.lit(0.0), lambda x, v: x + v))
+    cand = probes.join(assigned, "cell").filter(F.col("query_id") != F.col("nbr_id"))
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * cn)
+    scored = cand.select(
+        "query_id",
+        "nbr_id",
+        F.round(
+            F.when((F.col("qn") > 0) & (cn > 0), sim).otherwise(F.lit(0.0)), round_dp
+        ).alias("sim_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def ivf_seeded_duckdb_sql(
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``ivf_topk(method='seeded')`` — replicates seed
+    selection (portable polynomial id-hash), 6-dp-rounded euclidean cell
+    assignment, n_probe probing, and the 4-dp cosine top-k."""
+    th = (
+        "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        "list_transform(range(1, 1 + length(CAST(id AS VARCHAR))), "
+        "i -> CAST(ascii(substr(CAST(id AS VARCHAR), i, 1)) AS BIGINT))), "
+        "(h, c) -> (h * 31 + c) % 2147483647)"
+    )
+    dist = (
+        "round(sqrt(list_sum(list_transform(range(1, 1 + len(x.v)), "
+        "i -> (x.v[i] - s.sv[i]) * (x.v[i] - s.sv[i])))), 6)"
+    )
+    return f"""
+      WITH e AS (
+        SELECT CAST({id_col} AS BIGINT) AS id, {vec_col}::DOUBLE[] AS v FROM {table}
+      ), hashed AS (
+        SELECT id, v, {th} AS th FROM e
+      ), seeds AS (
+        SELECT id AS sid, v AS sv, row_number() OVER (ORDER BY th, id) AS cell
+        FROM hashed ORDER BY th, id LIMIT {n_lists}
+      ), dists AS (
+        SELECT x.id, s.cell, {dist} AS d
+        FROM e x, seeds s
+      ), assign AS (
+        SELECT id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+          FROM dists
+        ) WHERE rn = 1
+      ), probes AS (
+        SELECT id AS query_id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+          FROM dists
+        ) WHERE rn <= {n_probe}
+      ), scored AS (
+        SELECT p.query_id, a.id AS nbr_id,
+               round(CASE WHEN list_dot_product(q.v, q.v) > 0
+                               AND list_dot_product(c.v, c.v) > 0
+                          THEN list_cosine_similarity(q.v, c.v) ELSE 0.0 END, 4) AS sim_r
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.id <> p.query_id
+        JOIN e q ON q.id = p.query_id
+        JOIN e c ON c.id = a.id
+      )
+      SELECT query_id, nbr_id, sim_r FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, nbr_id) AS rk
+        FROM scored
+      ) WHERE rk <= {k}
+    """
 
 
 def _hyperplane_sign(vec: Column, plane: int, seed: int) -> Column:

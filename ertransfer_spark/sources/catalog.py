@@ -61,9 +61,13 @@ class SnapshotCatalog:
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))
 
-    def commit(self, table: str, df: DataFrame, meta: dict | None = None) -> Path:
+    def commit(self, table: str, df: DataFrame, meta: dict | None = None,
+               mode: str = "overwrite") -> Path:
         """Write df as the next snapshot of ``table``; manifest written last
-        (atomic visibility)."""
+        (atomic visibility). ``mode='append'`` marks the snapshot as a
+        delta: :meth:`read` unions every append snapshot since the last
+        overwrite — the Iceberg fast-append analog. Earlier snapshot files
+        are never touched."""
         d = self._table_dir(table)
         d.mkdir(parents=True, exist_ok=True)
         n = len([p for p in d.iterdir() if p.name.startswith("snap-")])
@@ -78,6 +82,7 @@ class SnapshotCatalog:
             "snapshot": snap.name,
             "committed_at": time.time(),
             "schema": df.schema.json(),
+            "mode": mode,
             **(meta or {}),
         }
         mpath = snap / "_MANIFEST.json"
@@ -85,12 +90,31 @@ class SnapshotCatalog:
             json.dump(manifest, f)
         return snap
 
+    def append(self, table: str, df: DataFrame, meta: dict | None = None) -> Path:
+        """Append-only commit: writes ONLY ``df``'s rows as a new delta
+        snapshot — per-commit cost is O(|df|), never O(table)."""
+        return self.commit(table, df, meta=meta, mode="append")
+
+    def _active_snaps(self, table: str) -> list[Path]:
+        """Snapshots visible to read(): the last overwrite plus every
+        append after it (in commit order)."""
+        active: list[Path] = []
+        for p in self.snapshots(table):
+            with open(p / "_MANIFEST.json") as f:
+                mode = json.load(f).get("mode", "overwrite")
+            if mode == "overwrite":
+                active = [p]
+            else:
+                active.append(p)
+        return active
+
     def read(self, table: str, snapshot: str | None = None) -> DataFrame:
-        snaps = self.snapshots(table)
+        if snapshot is not None:
+            return self.spark.read.parquet(str(self._table_dir(table) / snapshot))
+        snaps = self._active_snaps(table)
         if not snaps:
             raise FileNotFoundError(f"no committed snapshot for table {table!r}")
-        snap = snaps[-1] if snapshot is None else self._table_dir(table) / snapshot
-        return self.spark.read.parquet(str(snap))
+        return self.spark.read.parquet(*[str(p) for p in snaps])
 
     def manifest(self, table: str) -> dict:
         snaps = self.snapshots(table)

@@ -124,49 +124,125 @@ def incremental_dedup_stream(
     turns_stream: DataFrame,
     catalog,
     corpus_table: str = "corpus_records",
+    bands_table: str = "corpus_bands",
     dup_table: str = "dup_pairs",
     min_jaccard: float = 0.6,
+    n_hashes: int = 96,
+    bands: int = 32,
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
 ):
-    """Streaming near-dup detection against a growing corpus.
+    """Streaming near-dup detection against a growing corpus — incremental
+    IN FACT, not just in shape:
 
-    Per micro-batch: canonicalize the batch's conversations, MinHash-join
-    the NEW records against everything committed so far (plus themselves),
-    append the new records to the corpus snapshot and the detected pairs to
-    ``dup_table``. This is the streaming shape of web-scale ingest dedup:
-    per-batch cost ∝ |batch| × collision rate, never |corpus|² — the
-    committed corpus is only touched through the LSH bucket join.
+    - MinHash band keys are PERSISTED (``bands_table``, append-only); each
+      micro-batch signs ONLY its own records and bucket-joins the new band
+      keys against the committed index — signing cost O(|batch|), join
+      cost O(collisions), never O(corpus).
+    - corpus commits are APPEND-ONLY deltas (`catalog.append`): the batch's
+      records are the only rows written; earlier snapshot files are never
+      rewritten (Iceberg fast-append semantics).
+    - exact-jaccard verification touches only records named by a candidate
+      pair (semi-join on candidate ids; on a real deployment the corpus
+      table is id-bucketed so this fetch is partition-pruned).
 
-    Dup pairs are oriented (existing_or_lower_id → new), deterministic
-    across replays of the same batch sequence.
+    Pair orientation: a pair {existing, new} may arrive in either id
+    order, so pairs are canonicalized with least/greatest BEFORE the
+    self-pair filter — never ``a_id < b_id`` on the join output, which
+    would silently drop cross-batch duplicates whose existing id sorts
+    after the new one's. Union of per-batch outputs over any batch
+    sequence equals the batch-mode ``minhash_lsh_join(corpus, corpus,
+    self_join=True)`` on the final corpus (asserted in tests): cross-batch
+    pairs are found when the later record arrives, same-batch pairs by the
+    batch's self-join, and earlier-batch pairs were already emitted.
     """
-    from ertransfer_spark.operators.blocking import minhash_lsh_join
+    from ertransfer_spark.operators.blocking import minhash_band_keys
     from ertransfer_spark.operators.canonicalize import canonicalize
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         new = canonicalize(batch_df).select("conv_id", "agValue", "shingle_set")
+        new = new.localCheckpoint()
+        new_bands = minhash_band_keys(
+            new, "conv_id", "shingle_set", n_hashes, bands, side="n"
+        ).localCheckpoint()
+
         try:
-            corpus = catalog.read(corpus_table).select("conv_id", "agValue", "shingle_set")
+            committed_bands = catalog.read(bands_table)
         except FileNotFoundError:
-            corpus = None
-        both = new if corpus is None else corpus.unionByName(new)
-        pairs = minhash_lsh_join(
-            both,
-            new,
-            id_col="conv_id",
-            tokens_col="shingle_set",
-            min_jaccard=min_jaccard,
-            self_join=False,
-        ).filter(F.col("a_id") < F.col("b_id"))
-        # a new record also collides with itself via (corpus ∪ new) × new —
-        # the a<b filter removes self-pairs and de-orients duplicates
-        pairs = pairs.dropDuplicates(["a_id", "b_id"])
+            committed_bands = None
+
+        # candidates: new × committed (cross-batch) ∪ new × new (in-batch)
+        nb = new_bands.select(
+            F.col("n_id").alias("x_id"), "band_idx", "band_hash"
+        )
+        cand = (
+            nb.withColumnRenamed("x_id", "u")
+            .join(
+                new_bands.select(F.col("n_id").alias("v"), "band_idx", "band_hash"),
+                ["band_idx", "band_hash"],
+            )
+            .filter(F.col("u") < F.col("v"))  # in-batch: both orders present
+            .select("u", "v")
+        )
+        if committed_bands is not None:
+            cross = (
+                nb.withColumnRenamed("x_id", "u")
+                .join(
+                    committed_bands.select(
+                        F.col("n_id").alias("v"), "band_idx", "band_hash"
+                    ),
+                    ["band_idx", "band_hash"],
+                )
+                .select("u", "v")
+            )
+            cand = cand.unionByName(cross)
+        # canonical orientation FIRST (least/greatest), then self/dup drop —
+        # a_id < b_id on the raw join would lose {existing, new} pairs whose
+        # existing id sorts after the new id
+        cand = (
+            cand.select(
+                F.least("u", "v").alias("a_id"), F.greatest("u", "v").alias("b_id")
+            )
+            .filter(F.col("a_id") != F.col("b_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_cand = cand.count()
+
+        # verify: fetch ONLY records named by a candidate pair
+        need = cand.select(F.col("a_id").alias("conv_id")).unionByName(
+            cand.select(F.col("b_id").alias("conv_id"))
+        ).distinct()
+        try:
+            old = catalog.read(corpus_table).select("conv_id", "shingle_set")
+        except FileNotFoundError:
+            old = new.select("conv_id", "shingle_set").limit(0)
+        lookup = (
+            old.unionByName(new.select("conv_id", "shingle_set"))
+            .join(need, "conv_id", "left_semi")
+        )
+        sa = lookup.select(F.col("conv_id").alias("a_id"), F.col("shingle_set").alias("sa"))
+        sb = lookup.select(F.col("conv_id").alias("b_id"), F.col("shingle_set").alias("sb"))
+        o = F.size(F.array_intersect("sa", "sb"))
+        sim = o / (F.size("sa") + F.size("sb") - o).cast("double")
+        pairs = (
+            cand.join(sa, "a_id")
+            .join(sb, "b_id")
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= min_jaccard)
+            .select("a_id", "b_id", "sim")
+        )
+
         n_new = new.count()
         n_pairs = pairs.count()
-        catalog.commit(corpus_table, both, meta={"batch_id": batch_id})
+        catalog.append(corpus_table, new, meta={"batch_id": batch_id})
+        catalog.append(
+            bands_table,
+            new_bands.select("n_id", "band_idx", "band_hash"),
+            meta={"batch_id": batch_id},
+        )
         catalog.commit(f"{dup_table}_batch_{batch_id:05d}", pairs, meta={"batch_id": batch_id})
         catalog.append_lineage(
             [
@@ -176,7 +252,7 @@ def incremental_dedup_stream(
                     "wall_ms": 0,
                     "block_key": "",
                     "candidate_count": int(n_new),
-                    "comparisons": 0,
+                    "comparisons": int(n_cand),
                     "matches": int(n_pairs),
                 }
             ]

@@ -40,7 +40,7 @@ def run_once(cpus: int, n_conv: int) -> dict:
         text=True,
         check=True,
         cwd=str(REPO),
-        timeout=3000,
+        timeout=9000,
         env=env,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -75,6 +75,15 @@ def main() -> None:
 same code path, fresh JVM per level — the in-sandbox proxy for N vs 4N
 executors mandated by the driver instructions).
 """
+    s8, s32 = best8.get("stages", {}), best32.get("stages", {})
+    if s8 and s32:
+        block += "\nPer-stage decomposition (wall s, best runs):\n\n"
+        block += "| stage | local[8] | local[32] | speedup | efficiency |\n"
+        block += "| --- | --- | --- | --- | --- |\n"
+        for st in s8:
+            t8, t32 = s8[st], s32.get(st, 0.0)
+            if t32 > 0:
+                block += f"| {st} | {t8} | {t32} | {t8 / t32:.2f}x | {t8 / t32 / 4:.2f} |\n"
     bench_md = REPO / "BENCH.md"
     header = "# BENCH — throughput & two-cluster-size scaling evidence\n"
     prev = bench_md.read_text() if bench_md.exists() else header

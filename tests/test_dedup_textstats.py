@@ -183,3 +183,50 @@ def test_ivf_topk_recall(spark, vectors):
     ).collect()}
     hits = sum(1 for qid, n in exact.items() if got.get(qid) == n)
     assert hits >= len(exact) * 0.8
+
+
+def test_ivf_seeded_recall_and_determinism(spark, vectors):
+    """The deterministic 'seeded' IVF variant (portable id-hash seeds, the
+    oracle-verifiable path) still recovers most exact top-1s, and two runs
+    are identical."""
+    from ertransfer_spark.operators.simsearch import brute_force_topk, ivf_topk
+
+    exact = {r["query_id"]: r["nbr_id"] for r in brute_force_topk(vectors, vectors, k=1).collect()}
+    r1 = ivf_topk(vectors, vectors, k=1, n_lists=4, n_probe=2, method="seeded").collect()
+    r2 = ivf_topk(vectors, vectors, k=1, n_lists=4, n_probe=2, method="seeded").collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    got = {r["query_id"]: r["nbr_id"] for r in r1}
+    hits = sum(1 for qid, n in exact.items() if got.get(qid) == n)
+    assert hits >= len(exact) * 0.7
+
+
+def test_block_grid_invariant_to_block_count(spark, vectors):
+    """The exact block-matrix sweeps must return identical results for any
+    block count (1 block ⟺ many small blocks) — the distribution strategy
+    cannot change values, ranks, or pair coverage."""
+    from ertransfer_spark.operators.simsearch import brute_force_topk, cosine_neardup_pairs
+
+    one = sorted(map(tuple, brute_force_topk(vectors, vectors, k=3, rows_per_block=4096).collect()))
+    many = sorted(map(tuple, brute_force_topk(vectors, vectors, k=3, rows_per_block=4).collect()))
+    assert one == many
+
+    nd1 = sorted(map(tuple, cosine_neardup_pairs(vectors, threshold=0.8, rows_per_block=4096).collect()))
+    nd2 = sorted(map(tuple, cosine_neardup_pairs(vectors, threshold=0.8, rows_per_block=3).collect()))
+    assert nd1 == nd2
+    assert nd1  # the direction groups produce near-dup pairs
+    # a_id < b_id orientation, no self pairs
+    assert all(a < b for a, b, _ in nd1)
+
+
+def test_neardup_zero_norm_guard(spark):
+    """Zero-norm vectors must score 0.0 (dropped by the threshold), not
+    divide-by-zero — including under ANSI sessions."""
+    from ertransfer_spark.operators.simsearch import cosine_neardup_pairs, ivf_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 0.0])]
+    vs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_neardup_pairs(vs, threshold=0.5).collect()
+    assert {(r["a_id"], r["b_id"]) for r in out} == {(0, 1)}
+    # ivf (both variants) with a zero-norm corpus vector must not throw
+    for method in ("kmeans", "seeded"):
+        ivf_topk(vs, vs, k=2, n_lists=2, n_probe=2, method=method).collect()

@@ -65,6 +65,51 @@ def test_snapshot_catalog_atomicity(spark, tmp_path):
     assert m["snapshot"] == "snap-00001"
 
 
+def test_snapshot_catalog_kill_conformance(spark, tmp_path):
+    """Manifest-last atomicity under kill: a snapshot directory whose
+    manifest never landed (killed mid-commit) and a leftover _tmp staging
+    dir are both invisible to exists()/read(); the next commit claims a
+    fresh snapshot id and the table stays consistent."""
+    import shutil
+
+    from ertransfer_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    df = spark.range(10).withColumnRenamed("id", "x")
+    cat.commit("t", df)
+
+    tdir = tmp_path / "cat" / "t"
+    # simulate a kill AFTER the parquet rename but BEFORE the manifest write
+    shutil.copytree(tdir / "snap-00000", tdir / "snap-00001")
+    (tdir / "snap-00001" / "_MANIFEST.json").unlink()
+    # and a kill DURING the parquet write (staging dir left behind)
+    shutil.copytree(tdir / "snap-00000", tdir / "_tmp-deadbeef")
+
+    assert [p.name for p in cat.snapshots("t")] == ["snap-00000"]
+    assert cat.read("t").count() == 10
+    assert cat.manifest("t")["snapshot"] == "snap-00000"
+
+    # recovery: a rerun commit lands cleanly as a NEW visible snapshot
+    cat.commit("t", spark.range(3).withColumnRenamed("id", "x"))
+    assert cat.read("t").count() == 3
+
+
+def test_snapshot_catalog_append_mode(spark, tmp_path):
+    """append() commits deltas: read() unions every append since the last
+    overwrite; an overwrite resets the visible set."""
+    from ertransfer_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    mk = lambda n, v: spark.range(n).selectExpr(f"id + {v} as x")
+    cat.commit("t", mk(2, 0))
+    cat.append("t", mk(3, 100))
+    cat.append("t", mk(1, 200))
+    assert cat.read("t").count() == 6
+    assert cat.read("t", "snap-00001").count() == 3  # a delta alone
+    cat.commit("t", mk(4, 0))  # overwrite resets
+    assert cat.read("t").count() == 4
+
+
 def test_unsupervised_pipeline_no_labels(spark, spark_corpora, tmp_path):
     """ZeroER regime: NO golden matches given to the pipeline — the GMM
     matcher + fixed threshold must still recover the duplicate pairs

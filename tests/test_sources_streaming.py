@@ -127,51 +127,106 @@ def test_stream_matches_batch_canonicalization(spark, tmp_path):
     assert g == w
 
 
-def test_incremental_dedup_stream(spark, tmp_path):
-    """Two micro-batches: batch 2 contains a near-copy of a batch-1
-    conversation — the streamed dedup must flag the cross-batch pair."""
+def _write_batch(src, name, pdf):
     import json as _json
 
-    from ertransfer_spark.sources.catalog import SnapshotCatalog
+    with open(src / name, "w") as f:
+        for r in pdf.to_dict("records"):
+            r["ts"] = r["ts"].isoformat()
+            f.write(_json.dumps(r) + "\n")
+
+
+def _drain_dedup(spark, src, catalog, ckpt, min_jaccard=0.3):
     from ertransfer_spark.streaming.ingest import incremental_dedup_stream, read_turn_stream
-    from ertransfer_spark.synth import SynthConfig, generate
+
+    q = incremental_dedup_stream(
+        read_turn_stream(spark, str(src), max_files_per_trigger=1),
+        catalog,
+        min_jaccard=min_jaccard,
+        checkpoint_dir=str(ckpt),
+    )
+    q.awaitTermination(120)
+
+
+def _all_dup_pairs(catalog, n_batches):
+    found = set()
+    for b in range(n_batches):
+        for r in catalog.read(f"dup_pairs_batch_{b:05d}").collect():
+            found.add((r["a_id"], r["b_id"]))
+    return found
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Two micro-batches: batch 2 contains a near-copy of a batch-1
+    conversation — the streamed dedup must flag the cross-batch pair, the
+    union of per-batch outputs must equal the batch-mode run on the final
+    corpus, and corpus commits must be append-only deltas."""
+    from ertransfer_spark.operators.blocking import minhash_lsh_join
+    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.sources.catalog import SnapshotCatalog
+    from ertransfer_spark.synth import SynthConfig, generate, to_spark
 
     ta, tb, matches = generate(SynthConfig(n_conversations=12, match_fraction=0.99, seed=3))
     src = tmp_path / "turns"
     src.mkdir()
 
-    def write_batch(name, pdf):
-        with open(src / name, "w") as f:
-            for r in pdf.to_dict("records"):
-                r["ts"] = r["ts"].isoformat()
-                f.write(_json.dumps(r) + "\n")
-
     catalog = SnapshotCatalog(spark, str(tmp_path / "cat"))
-    # batch 1: the A side only
-    write_batch("b1.json", ta)
-    q = incremental_dedup_stream(
-        read_turn_stream(spark, str(src), max_files_per_trigger=1),
-        catalog,
-        min_jaccard=0.3,
-        checkpoint_dir=str(tmp_path / "ck1"),
+    _write_batch(src, "b1.json", ta)
+    _drain_dedup(spark, src, catalog, tmp_path / "ck1")
+    snap0_files = sorted(
+        (p.name, p.stat().st_mtime)
+        for p in (tmp_path / "cat" / "corpus_records" / "snap-00000").iterdir()
     )
-    q.awaitTermination(120)
-    # batch 2: the B side (near-copies of A) — resume from the checkpoint
-    write_batch("b2.json", tb)
-    q2 = incremental_dedup_stream(
-        read_turn_stream(spark, str(src), max_files_per_trigger=1),
-        catalog,
-        min_jaccard=0.3,
-        checkpoint_dir=str(tmp_path / "ck1"),
-    )
-    q2.awaitTermination(120)
+    _write_batch(src, "b2.json", tb)
+    _drain_dedup(spark, src, catalog, tmp_path / "ck1")
 
     corpus = catalog.read("corpus_records")
     assert corpus.count() == len(set(ta["conv_id"])) + len(set(tb["conv_id"]))
-    found = set()
-    for p in catalog.snapshots("dup_pairs_batch_00001") and ["dup_pairs_batch_00001"] or []:
-        for r in catalog.read(p).collect():
-            found.add((r["a_id"], r["b_id"]))
+
+    # append-only: batch 2 did NOT rewrite batch 1's snapshot files, and its
+    # own delta contains exactly the batch-2 records
+    assert sorted(
+        (p.name, p.stat().st_mtime)
+        for p in (tmp_path / "cat" / "corpus_records" / "snap-00000").iterdir()
+    ) == snap0_files
+    delta = catalog.read("corpus_records", snapshot="snap-00001")
+    assert set(r["conv_id"] for r in delta.select("conv_id").collect()) == set(tb["conv_id"])
+
+    found = _all_dup_pairs(catalog, 2)
     golden = {(a, b) for a, b in zip(matches["a_conv_id"], matches["b_conv_id"])}
-    # most golden near-dups detected across batches
+    assert len(found & golden) >= len(golden) * 0.7, (len(found & golden), len(golden))
+
+    # exact parity with the batch-mode operator on the final corpus
+    full = canonicalize(
+        to_spark(spark, __import__("pandas").concat([ta, tb], ignore_index=True))
+    )
+    batch_pairs = minhash_lsh_join(
+        full, full, id_col="conv_id", tokens_col="shingle_set",
+        min_jaccard=0.3, self_join=True,
+    )
+    want = {(r["a_id"], r["b_id"]) for r in batch_pairs.collect()}
+    assert found == want
+
+
+def test_incremental_dedup_cross_batch_orientation(spark, tmp_path):
+    """Adversarial id order: the EXISTING record's id sorts AFTER the new
+    record's id (B-side ingested first, A-side second). A join-output
+    a_id < b_id filter would silently drop every such cross-batch pair —
+    the canonical least/greatest orientation must keep them."""
+    from ertransfer_spark.sources.catalog import SnapshotCatalog
+    from ertransfer_spark.synth import SynthConfig, generate
+
+    ta, tb, matches = generate(SynthConfig(n_conversations=10, match_fraction=0.99, seed=5))
+    src = tmp_path / "turns"
+    src.mkdir()
+    catalog = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    # batch 1 = B side ('b_*' ids), batch 2 = A side ('a_*' ids): every
+    # cross-batch dup has existing id > new id
+    _write_batch(src, "b1.json", tb)
+    _drain_dedup(spark, src, catalog, tmp_path / "ck1")
+    _write_batch(src, "b2.json", ta)
+    _drain_dedup(spark, src, catalog, tmp_path / "ck1")
+
+    found = _all_dup_pairs(catalog, 2)
+    golden = {(a, b) for a, b in zip(matches["a_conv_id"], matches["b_conv_id"])}
     assert len(found & golden) >= len(golden) * 0.7, (len(found & golden), len(golden))
