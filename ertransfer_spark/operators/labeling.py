@@ -60,11 +60,15 @@ def stratified_split(
     seed: int = 42,
     label_col: str = "label",
 ) -> dict[str, DataFrame]:
-    """Deterministic label-stratified split → {'train','valid','test'}.
+    """Deterministic split → {'train','valid','test'}.
 
-    Bucket = xxhash64(a_id, b_id, seed) mod 100 within each label stratum —
-    exact same rows every run regardless of partitioning or input order
-    (unlike randomSplit). Disjoint by construction.
+    Bucket = xxhash64(a_id, b_id, seed) mod 100 — exact same rows every
+    run regardless of partitioning or input order (unlike randomSplit),
+    disjoint by construction. The hash is label-independent, so per-label
+    fractions match the weights in expectation (binomial concentration);
+    for the EXACTLY label-stratified variant (reference
+    train_test_split(stratify=...) parity) see
+    clustering.tune_threshold_runs, which ranks within each label stratum.
     """
     b = F.pmod(F.xxhash64("a_id", "b_id", F.lit(seed)), F.lit(100))
     t1 = int(weights[0] * 100)

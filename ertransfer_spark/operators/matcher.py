@@ -101,8 +101,12 @@ def train_matcher(
     # LBFGS runs maxIter tree-aggregate jobs when data is separable (no
     # early convergence), and each job on a small train split is pure
     # scheduling overhead — cap iterations and shrink partitions so the
-    # fit is not the pipeline's fixed-cost floor.
-    featurized_train = featurized_train.coalesce(16)
+    # fit is not the pipeline's fixed-cost floor. The partition count must
+    # still cover the cores: a FIXED coalesce(16) capped every fit job at
+    # 16-way parallelism, which silently halved the 32-core leg of the
+    # scaling runs (measured: train 151 s @8c → 136 s @32c at 480k convs).
+    n_fit = max(featurized_train.sparkSession.sparkContext.defaultParallelism, 16)
+    featurized_train = featurized_train.coalesce(n_fit)
     if algorithm == "logreg":
         clf = LogisticRegression(
             featuresCol=features_col, labelCol=label_col, maxIter=25, regParam=1e-4

@@ -48,6 +48,10 @@ class PipelineConfig:
     metric: str = "jaccard"
     tokens_col: str = "shingle_set"  # blocking token column from canonicalize
     salt: int = 4                    # posting-join salt (hot-token spread)
+    salt_hot_product: int | None = 65536  # salt only output-explosive tokens
+    skinny_postings: bool = True     # (token, id) posting rows; sizes post-agg
+    topk_mode: str = "agg"           # partial-aggregable top-K (vs window)
+    hash_tokens: bool = False        # 8-byte posting keys (P[collision]≈n²/2⁶⁵)
     blocker: str = "token"           # token (J1) | vector (J2 feature-hash LSH)
     max_token_df: int | None = None
     posting_budget: int | None = None
@@ -122,6 +126,9 @@ class ERPipeline:
             else:
                 cand = top_k_token_join(
                     ra, rb, k=cfg.k, metric=cfg.metric, tokens_col=cfg.tokens_col, salt=cfg.salt,
+                    salt_hot_product=cfg.salt_hot_product,
+                    skinny_postings=cfg.skinny_postings, topk_mode=cfg.topk_mode,
+                    hash_tokens=cfg.hash_tokens,
                     max_token_df=cfg.max_token_df, posting_budget=cfg.posting_budget,
                     min_sim=cfg.min_sim,
                 )

@@ -31,7 +31,11 @@ def run_once(cpus: int, n_conv: int) -> dict:
     import os
     import shutil as _sh
 
-    env = dict(os.environ, SPARK_DRIVER_MEM="24g")
+    # 48g heap: at 32 task threads in one JVM the allocation rate makes GC
+    # the bottleneck (measured 13% end-to-end win vs 24g at 120k/32c —
+    # single-JVM artifact; a real cluster has per-executor heaps). Same
+    # setting for both legs.
+    env = dict(os.environ, SPARK_DRIVER_MEM="48g")
     if _sh.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
