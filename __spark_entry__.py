@@ -87,13 +87,17 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lists has P ≈ n²/2⁶⁵ over distinct shingles) and the join/df-cap
     # shuffle rows shrink from ~25-byte strings to 8-byte longs. The SQL
     # oracle keeps the string keys: the OUTPUT is key-agnostic.
+    # skinny postings (measured ~2× on the blocking stage at both
+    # parallelism levels, BENCH.md variant table): posting rows carry ONLY
+    # (g, id) — 16 bytes — through the explode/df-cap/join/agg shuffles;
+    # the per-doc dims (size, lang) re-attach post-agg via two broadcast
+    # joins against the tiny doc-dim table. Output-identical.
+    dims = d.select("id", "lang", "sz")
     a = d.filter(F.col("id") % 2 == 0).select(
-        F.col("id").alias("a_id"), F.col("lang").alias("a_lang"),
-        F.col("sz").alias("a_sz"), F.explode("s").alias("g"),
+        F.col("id").alias("a_id"), F.explode("s").alias("g")
     ).withColumn("g", F.xxhash64("g"))
     b = d.filter(F.col("id") % 2 == 1).select(
-        F.col("id").alias("b_id"), F.col("lang").alias("b_lang"),
-        F.col("sz").alias("b_sz"), F.explode("s").alias("g"),
+        F.col("id").alias("b_id"), F.explode("s").alias("g")
     ).withColumn("g", F.xxhash64("g"))
     keep = (
         a.groupBy("g").agg(F.count(F.lit(1)).alias("dfa")).filter(F.col("dfa") <= MAX_GRAM_DF)
@@ -105,12 +109,22 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = a.join(F.broadcast(keep), "g")
     b = b.join(F.broadcast(keep), "g")
-    pairs = a.join(b, "g").groupBy("a_id", "b_id").agg(
-        F.count(F.lit(1)).cast("long").alias("overlap"),
-        F.first("a_sz").alias("a_sz"),
-        F.first("b_sz").alias("b_sz"),
-        F.first("a_lang").alias("a_lang"),
-        F.first("b_lang").alias("b_lang"),
+    pairs = (
+        a.join(b, "g")
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+        .join(
+            F.broadcast(dims.select(
+                F.col("id").alias("a_id"), F.col("lang").alias("a_lang"),
+                F.col("sz").alias("a_sz"))),
+            "a_id",
+        )
+        .join(
+            F.broadcast(dims.select(
+                F.col("id").alias("b_id"), F.col("lang").alias("b_lang"),
+                F.col("sz").alias("b_sz"))),
+            "b_id",
+        )
     )
     sim_r = F.round(
         F.col("overlap") / (F.col("a_sz") + F.col("b_sz") - F.col("overlap")), 6
@@ -377,24 +391,23 @@ def q_dedup_shingle_jaccard(spark, sf_dir):
     d = _doc_shingles(spark, sf_dir)
     # hashed posting keys (see _scored_pairs) — identical output, smaller
     # self-join shuffle
-    p = d.select("id", "sz", F.explode("s").alias("g")).withColumn(
-        "g", F.xxhash64("g")
-    )
+    # skinny postings: (g, id) rows only; sizes re-attach post-agg via
+    # broadcast (see _scored_pairs)
+    p = d.select("id", F.explode("s").alias("g")).withColumn("g", F.xxhash64("g"))
     keep = p.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_GRAM_DF
     ).select("g")
     p = p.join(F.broadcast(keep), "g")
-    left = p.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"), "g")
-    right = p.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"), "g")
+    left = p.select(F.col("id").alias("a_id"), "g")
+    right = p.select(F.col("id").alias("b_id"), "g")
+    szs = d.select("id", "sz")
     pairs = (
         left.join(right, "g")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("overlap"),
-            F.first("a_sz").alias("a_sz"),
-            F.first("b_sz").alias("b_sz"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+        .join(F.broadcast(szs.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"))), "a_id")
+        .join(F.broadcast(szs.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"))), "b_id")
     )
     sim_r = F.round(F.col("overlap") / (F.col("a_sz") + F.col("b_sz") - F.col("overlap")), 6)
     return (

@@ -31,12 +31,19 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` (or env SPARK_GRAFT_MASTER) overrides the default
+    local[n] — e.g. ``local-cluster[4,8,10240]`` runs 4 real executor
+    JVMs with their own heaps (the in-sandbox analog of a 4-executor
+    cluster; used by scripts/bench_scaling.py mode=cluster). Under
+    spark-submit the submitted master/pyFiles win over builder confs."""
     n = cpus or default_parallelism()
     shuffle = shuffle_partitions or max(n, 8)
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{n}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{n}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
@@ -47,9 +54,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # ignored under local[n] (one JVM); under local-cluster it must fit
+        # the per-worker allowance in the master string
+        .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TypedImperativeAggregate (collect_list/min_by top-K aggs) falls
+        # back to sort-based aggregation after 128 hash-map entries by
+        # default — measured heavy per-task spill churn in the blocking
+        # top-K. 16k groups × (k·~50B struct buffers) ≈ tens of MB per
+        # task: safely in-memory at every parallelism level used here.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
         # Spark 4 defaults ANSI on; pin off for permissive casts/overflow
         # semantics matching the pandas-era reference (queries stay
         # defensive anyway since the driver may run them under ANSI).
