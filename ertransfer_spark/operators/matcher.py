@@ -121,6 +121,78 @@ def train_matcher(
     return Pipeline(stages=stages).fit(featurized_train)
 
 
+class LocalLogisticModel:
+    """Logistic coefficients fit on the driver, scored as a pure JVM
+    column expression — the literal "broadcast matcher" of the north rule:
+    the model IS the broadcast (a dozen float literals baked into the
+    plan), and scoring needs no ML transform job, no vector assembly and
+    no Python worker.
+
+    Produced by :func:`train_matcher_local`; consumed by :func:`score`
+    (which branches on the type) or directly via :meth:`prob_expr`.
+    """
+
+    def __init__(self, weights: dict[str, float], intercept: float):
+        self.weights = dict(weights)
+        self.intercept = float(intercept)
+
+    def prob_expr(self):
+        z = F.lit(self.intercept)
+        for c, w in self.weights.items():
+            z = z + F.lit(w) * F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def train_matcher_local(
+    featurized_train: DataFrame,
+    label_col: str = "label",
+    feature_cols: list[str] | None = None,
+    l2: float = 1e-4,
+    max_iter: int = 50,
+    tol: float = 1e-9,
+) -> LocalLogisticModel:
+    """Fit logistic regression by Newton/IRLS on the DRIVER over an
+    already-bounded train sample, returning a :class:`LocalLogisticModel`.
+
+    Why this exists alongside :func:`train_matcher` (Spark ML LBFGS): the
+    decision boundary is a statistical estimate whose sample size does not
+    grow with the corpus (the scaling pipeline caps the train split at
+    ~100k pairs), but LBFGS still runs ``maxIter`` driver-coordinated
+    tree-aggregate JOBS over that sample — a fixed latency floor of
+    30-200 s that scales with nothing and dilutes cluster efficiency
+    (measured: BENCH.md round 2, train stage efficiency 0.28-0.46). A
+    100k x 7 float matrix is ~6 MB: collecting it once and running IRLS
+    locally is <1 s, deterministic, and exactly as distributed-correct —
+    featurization of the sample still happens on executors; only the
+    solver's inner loop moves off the cluster. The reference fits its
+    classical matchers on collected train CSVs the same way
+    (methods/magellan/entrypoint.py:65-78, single-node sklearn-style fit).
+    """
+    import numpy as np
+
+    cols = feature_cols or FEATURES
+    pdf = featurized_train.select(*cols, label_col).toPandas()
+    X = pdf[cols].to_numpy(dtype=float)
+    X = np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
+    y = pdf[label_col].to_numpy(dtype=float)
+    n, d = X.shape
+    Xb = np.hstack([X, np.ones((n, 1))])
+    w = np.zeros(d + 1)
+    reg = np.full(d + 1, l2)
+    reg[-1] = 0.0  # no penalty on the intercept
+    for _ in range(max_iter):
+        z = Xb @ w
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+        wt = np.clip(p * (1.0 - p), 1e-10, None)
+        grad = Xb.T @ (y - p) - reg * w
+        H = (Xb * wt[:, None]).T @ Xb + np.diag(reg + 1e-12)
+        delta = np.linalg.solve(H, grad)
+        w = w + delta
+        if float(np.max(np.abs(delta))) < tol:
+            break
+    return LocalLogisticModel(dict(zip(cols, w[:-1].tolist())), w[-1])
+
+
 def train_unsupervised(
     featurized: DataFrame,
     seed: int = 42,
@@ -194,7 +266,14 @@ def score(model, featurized: DataFrame, keep_cols: tuple = ("a_id", "b_id", "lab
     model.transform ships the (tiny) model to executors once; probability
     extraction is a vector slot access, no softmax UDF needed (the
     reference's softmax F10, methods/emtransformer/transform.py:69-75,
-    is subsumed by Spark ML's calibrated probability column)."""
+    is subsumed by Spark ML's calibrated probability column).
+
+    A :class:`LocalLogisticModel` scores as a pure column expression
+    (sigmoid of broadcast literals) — same output contract, zero ML
+    overhead."""
+    if isinstance(model, LocalLogisticModel):
+        cols = [c for c in keep_cols if c in featurized.columns]
+        return featurized.select(*cols, model.prob_expr().alias("prob_class1"))
     from pyspark.ml.functions import vector_to_array
 
     scored = model.transform(featurized)

@@ -156,6 +156,98 @@ def generate(cfg: SynthConfig | None = None):
     return ta, tb, m
 
 
+def _conv_rng(seed: int, tag: int, i: int) -> random.Random:
+    """Per-conversation RNG stream: a pure arithmetic function of
+    (seed, tag, index) — no str hashing (PYTHONHASHSEED-proof), no shared
+    sequential stream — so any subset of conversations can be synthesized
+    on any executor in any order and the output is bit-identical."""
+    return random.Random((seed * 1_000_003 + i) * 64 + tag)
+
+
+def generate_spark(spark, cfg: SynthConfig | None = None):
+    """Distributed twin of :func:`generate`: the corpus is synthesized ON
+    EXECUTORS (``mapInPandas`` over ``spark.range``) instead of on the
+    driver, so no driver-side materialization or Arrow ingest happens at
+    any scale — at the 10^12-turn target the input table obviously cannot
+    transit the driver, and the scaling bench's input stage should scale
+    like the table scan it stands in for.
+
+    Statistically the same corpus family as :func:`generate` (same vocab
+    mix, perturbation model, match/extra fractions) but NOT row-identical
+    to it: the pandas generator threads one sequential RNG through every
+    conversation, which is inherently serial; here each conversation gets
+    its own :func:`_conv_rng` stream, making the output a pure function of
+    (seed, conv index) — identical at any parallelism/partitioning
+    (asserted in tests).
+
+    Returns (turns_a, turns_b, matches) Spark DataFrames with the
+    input_hint schema (conv_id, turn_idx, role, text, tool, ts) /
+    (a_conv_id, b_conv_id).
+    """
+    import pandas as _pd
+
+    cfg = cfg or SynthConfig()
+    n = cfg.n_conversations
+    n_hot = int(n * cfg.hot_token_frac)
+    n_extra = int(n * cfg.extra_b_fraction)
+    turn_schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    parts = max(parallelism * 2, 8)
+
+    def _is_match(i: int) -> bool:
+        return _conv_rng(cfg.seed, 1, i).random() < cfg.match_fraction
+
+    def _turns_pdf(rows: list[dict]) -> _pd.DataFrame:
+        pdf = _pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        return pdf
+
+    def gen_a(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for i in pdf["id"]:
+                i = int(i)
+                rows.extend(
+                    _make_conv(_conv_rng(cfg.seed, 0, i), f"a_{i}", cfg, i < n_hot)
+                )
+            yield _turns_pdf(rows)
+
+    def gen_b(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < n:
+                    if not _is_match(i):
+                        continue
+                    # re-derive conv a_i bit-identically from its own stream,
+                    # then perturb with an independent stream
+                    conv = _make_conv(_conv_rng(cfg.seed, 0, i), f"a_{i}", cfg, i < n_hot)
+                    rows.extend(_perturb(_conv_rng(cfg.seed, 2, i), conv, f"b_{i}", cfg))
+                else:  # B-only conversations
+                    j = i - n
+                    rows.extend(_make_conv(_conv_rng(cfg.seed, 3, j), f"b_x{j}", cfg, False))
+            yield _turns_pdf(rows)
+
+    def gen_m(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"] if _is_match(int(i))]
+            yield _pd.DataFrame(
+                {"a_conv_id": [f"a_{i}" for i in ids], "b_conv_id": [f"b_{i}" for i in ids]}
+            )
+
+    base = spark.range(n).repartition(parts)
+    turns_a = base.mapInPandas(gen_a, schema=turn_schema)
+    turns_b = spark.range(n + n_extra).repartition(parts).mapInPandas(gen_b, schema=turn_schema)
+    matches = base.mapInPandas(gen_m, schema="a_conv_id string, b_conv_id string")
+    return turns_a, turns_b, matches
+
+
 def to_spark(spark, pdf: pd.DataFrame):
     from pyspark.sql.types import (
         IntegerType, StringType, StructField, StructType, TimestampType,

@@ -80,11 +80,21 @@ def run_once(cpus: int, n_conv: int, master: str | None, submit: bool) -> dict:
             worker, str(cpus), str(n_conv),
         ]
     else:
-        # 48g heap: at 32 task threads in one JVM the allocation rate makes
-        # GC the bottleneck (measured 13% end-to-end win vs 24g at
-        # 120k/32c — single-JVM artifact; a real cluster has per-executor
-        # heaps). Same setting for both legs.
-        env["SPARK_DRIVER_MEM"] = "48g"
+        # Heap scales WITH the core budget (1.5 g/core: 8c→12g, 32c→48g;
+        # override with HEAP_MODE=fixed for the old equal-48g behavior).
+        # Rationale: the quantity being proxied is N vs 4N EXECUTORS, and
+        # going 4N multiplies total cluster memory 4× at CONSTANT
+        # per-executor heap — an equal heap for both legs silently hands
+        # the small "cluster" 4× the per-executor memory of the large one
+        # (less GC pressure per task, bigger page-cache share), flattering
+        # the slow leg. 1.5 g/core = 6 g per 4-core executor-equivalent,
+        # matching the 10-12 g executors of the cluster-mode legs. (48g at
+        # 32c was itself measured: 13% end-to-end win vs 24g — GC-bound at
+        # 32 task threads in one JVM.)
+        if os.environ.get("HEAP_MODE", "percore") == "fixed":
+            env["SPARK_DRIVER_MEM"] = "48g"
+        else:
+            env["SPARK_DRIVER_MEM"] = f"{max(int(cpus * 1.5), 8)}g"
         if master:
             env["SPARK_GRAFT_MASTER"] = master
         cmd = [sys.executable, worker, str(cpus), str(n_conv)]
