@@ -85,9 +85,16 @@ class SnapshotCatalog:
             "mode": mode,
             **(meta or {}),
         }
-        mpath = snap / "_MANIFEST.json"
-        with open(mpath, "w") as f:
+        # manifest-last AND manifest-atomic: a kill before the rename leaves
+        # only an invisible dir (no manifest → snapshots() skips it); a kill
+        # mid-manifest-write leaves a *.tmp file, never a partial
+        # _MANIFEST.json that would make read() choke on truncated JSON
+        mtmp = snap / f"_MANIFEST.json.tmp-{uuid.uuid4().hex[:8]}"
+        with open(mtmp, "w") as f:
             json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(mtmp, snap / "_MANIFEST.json")
         return snap
 
     def append(self, table: str, df: DataFrame, meta: dict | None = None) -> Path:
