@@ -256,20 +256,22 @@ def q_threshold_sweep(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("label").cast("long").alias("pos"),
     )
-    # single-partition window is INTENTIONAL: input is ≤100 bucket rows
-    # (the grid), not data rows — the constant partition key makes that
-    # explicit and keeps WindowExec warnings from masking real ones
-    w_desc = (
-        Window.partitionBy(F.lit(1))
-        .orderBy(F.desc("bkt"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # the cumulative sums run over ≤100 bucket rows (the threshold grid,
+    # not data rows). A global window here would move them to a single
+    # partition — correct but it spams the WindowExec no-partition warning
+    # on every run (partitionBy(lit(1)) doesn't help: Catalyst prunes
+    # foldable partition keys and the spec is empty again). Express the
+    # descending cumulative as a tiny ≥ self-join instead: same values,
+    # broadcast-sized, no warning to mask a real one.
+    rhs = agg.select(
+        F.col("bkt").alias("bkt2"), F.col("n").alias("n2"), F.col("pos").alias("pos2")
     )
-    w_all = Window.partitionBy(F.lit(1))
-    out = agg.select(
-        "bkt", "n", "pos",
-        F.sum("n").over(w_desc).alias("pred_n"),
-        F.sum("pos").over(w_desc).alias("tp"),
-        F.sum("pos").over(w_all).alias("total_pos"),
+    tot = agg.agg(F.sum("pos").alias("total_pos"))
+    out = (
+        agg.join(F.broadcast(rhs), F.col("bkt2") >= F.col("bkt"))
+        .groupBy("bkt", "n", "pos")
+        .agg(F.sum("n2").alias("pred_n"), F.sum("pos2").alias("tp"))
+        .crossJoin(F.broadcast(tot))
     )
     prec = F.col("tp") / F.col("pred_n")
     rec = F.col("tp") / F.col("total_pos")

@@ -111,19 +111,25 @@ def sample_negative_pairs(
     a time; here: oversample both sides with F.rand(seed), zip by
     row_number, anti-join the golden set, limit(n)). Deterministic under a
     fixed seed and input set (order-independence comes from sorting by a
-    seeded hash, not by input row position)."""
+    seeded hash, not by input row position).
+
+    The zip row_number windows are single-partition BY CONSTRUCTION (their
+    input is the limit(over) sample, ≤ 1.5n+16 rows) — partitionBy(lit(1))
+    states that explicitly so the WindowExec no-partition warning can't
+    mask a real one elsewhere."""
     over = int(n * 1.5) + 16
+    w_zip = Window.partitionBy(F.lit(1))
     a = (
         records_a.select(F.col(id_col).alias("a_id"))
         .orderBy(F.xxhash64(id_col, F.lit(seed)))
         .limit(over)
-        .withColumn("_r", F.row_number().over(Window.orderBy(F.xxhash64("a_id", F.lit(seed)))))
+        .withColumn("_r", F.row_number().over(w_zip.orderBy(F.xxhash64("a_id", F.lit(seed)))))
     )
     b = (
         records_b.select(F.col(id_col).alias("b_id"))
         .orderBy(F.xxhash64(id_col, F.lit(seed + 1)))
         .limit(over)
-        .withColumn("_r", F.row_number().over(Window.orderBy(F.xxhash64("b_id", F.lit(seed + 1)))))
+        .withColumn("_r", F.row_number().over(w_zip.orderBy(F.xxhash64("b_id", F.lit(seed + 1)))))
     )
     m = matches.select(
         F.col(matches.columns[0]).alias("a_id"), F.col(matches.columns[1]).alias("b_id")

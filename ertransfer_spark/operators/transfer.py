@@ -97,15 +97,30 @@ def kl_association(
     kl = joined.groupBy("dataset", "n_pairs").agg(
         F.round(F.sum(p * F.log(p / q)), round_dp).alias("kl_r")
     )
-    # single-partition window is intentional: one row per DATASET (a
-    # handful), never per pair — constant key silences the WindowExec
-    # warning without changing the plan's shape
-    w = Window.partitionBy(F.lit(1)).orderBy(F.asc("kl_r"), F.asc("dataset"))
-    return kl.select(
-        "dataset",
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-        "kl_r",
-        F.row_number().over(w).cast("long").alias("rk"),
+    # the rank runs over one row per DATASET (a handful, never per pair).
+    # A global row_number window would be correct but warns on every run —
+    # and partitionBy(lit(1)) doesn't silence it (Catalyst prunes foldable
+    # partition keys, leaving the spec empty again). Rank via a broadcast
+    # self-join instead: rk = 1 + #rows strictly ahead in the total order
+    # (kl_r, dataset), which is unique per row since datasets are distinct.
+    ahead = kl.select(
+        F.col("kl_r").alias("kl2"), F.col("dataset").alias("ds2")
+    )
+    return (
+        kl.join(
+            F.broadcast(ahead),
+            (F.col("kl2") < F.col("kl_r"))
+            | ((F.col("kl2") == F.col("kl_r")) & (F.col("ds2") < F.col("dataset"))),
+            "left",
+        )
+        .groupBy("dataset", "n_pairs", "kl_r")
+        .agg((F.count("ds2") + F.lit(1)).cast("long").alias("rk"))
+        .select(
+            "dataset",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "kl_r",
+            "rk",
+        )
     )
 
 
