@@ -18,8 +18,9 @@ textstats / operators.dedup):
   LSH) stays rows-only-checked.
 
 Iterative operators (greedy UMC, large-star/small-star connected
-components) are not ANSI-SQL-expressible as single queries; CC gets a
-recursive-CTE oracle, UMC is rows-only by design.
+components) are not ANSI-SQL-expressible as single queries; both get
+recursive-CTE oracles (CC: reachability closure; UMC: the iterated
+mutual-best rounds carried through the recursive working table).
 """
 
 from __future__ import annotations
@@ -298,8 +299,11 @@ def q_stratified_split(spark, sf_dir):
 
 
 def q_umc_greedy(spark, sf_dir):
-    """W2: greedy 1-1 matching via iterated mutual-best rounds. Iterative
-    driver loop — no single-SQL oracle (rows-only check)."""
+    """W2: greedy 1-1 matching via iterated mutual-best rounds. The DuckDB
+    oracle replays the same rounds in a recursive CTE: each step flags the
+    mutual-best edges of the previous frontier, emits them as accepted,
+    and carries forward only edges whose endpoints stayed unmatched —
+    value-verified (rows+schema+hash), not rows-only."""
     from ertransfer_spark.operators.clustering import unique_mapping_clusters
 
     preds = _scored_pairs(spark, sf_dir).select(
@@ -815,6 +819,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT split, label, CAST(count(*) AS BIGINT) AS n_pairs
             FROM lab GROUP BY split, label
+        """,
+        "umc_greedy": SQL_SCORED.replace("WITH tk AS", "WITH RECURSIVE tk AS", 1) + f"""
+            , filt AS (
+              SELECT a_id, b_id, sim_r AS prob FROM scored WHERE sim_r >= {CC_THRESHOLD}
+            ), rec(a_id, b_id, prob, accepted) AS (
+              -- round 0: the full frontier, nothing accepted yet
+              SELECT a_id, b_id, prob, FALSE FROM filt
+              UNION ALL
+              -- each round: flag mutual-best edges of the previous
+              -- frontier (same total order as the Spark windows:
+              -- prob DESC, a_id, b_id), emit them as accepted, and carry
+              -- forward only edges whose endpoints stayed unmatched
+              SELECT a_id, b_id, prob, is_best FROM (
+                SELECT a_id, b_id, prob, is_best,
+                       max(CASE WHEN is_best THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY a_id) AS a_hit,
+                       max(CASE WHEN is_best THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY b_id) AS b_hit
+                FROM (
+                  SELECT a_id, b_id, prob,
+                         (row_number() OVER (PARTITION BY a_id
+                            ORDER BY prob DESC, a_id, b_id) = 1)
+                         AND (row_number() OVER (PARTITION BY b_id
+                            ORDER BY prob DESC, a_id, b_id) = 1) AS is_best
+                  FROM rec WHERE NOT accepted
+                )
+              ) WHERE is_best OR (a_hit = 0 AND b_hit = 0)
+            )
+            SELECT a_id, b_id, round(prob, 6) AS prob_r FROM rec WHERE accepted
         """,
         "connected_components": SQL_SCORED.replace("WITH tk AS", "WITH RECURSIVE tk AS", 1) + f"""
             , edges AS (

@@ -72,40 +72,60 @@ def unique_mapping_clusters(
     Threshold boundary is INCLUSIVE: the reference greedy breaks on
     ``prob < threshold`` (clustering/Probabilities/clustering.py:48-49),
     i.e. edges with prob == threshold are still considered.
+
+    Driver round-trips: exactly ONE action per round. Each round computes
+    a single flagged frontier (both row_number windows + the mutual-best
+    flag), lazily localCheckpoints it, and materializes it through one
+    counting agg — the count of mutual-best edges doubles as the stop
+    test (a nonempty edge set always has a mutual-best edge: the global
+    maximum under the total order dominates both its endpoints), so no
+    separate isEmpty probes are needed. The accepted set and the next
+    frontier are lazy filters over the CHECKPOINTED frontier, so nothing
+    is recomputed and lineage stays flat.
     """
     remaining = predictions.filter(F.col(prob_col) >= threshold).select(
         "a_id", "b_id", F.col(prob_col).alias("prob")
     )
-    remaining = remaining.localCheckpoint()
-    accepted = None
+    accepted_parts: list[DataFrame] = []
     wa = Window.partitionBy("a_id").orderBy(F.desc("prob"), F.asc("a_id"), F.asc("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.desc("prob"), F.asc("a_id"), F.asc("b_id"))
     for _ in range(max_rounds):
-        if remaining.isEmpty():
-            break
-        best = (
+        flags = (
             remaining.withColumn("_ra", F.row_number().over(wa))
             .withColumn("_rb", F.row_number().over(wb))
-            .filter((F.col("_ra") == 1) & (F.col("_rb") == 1))
+            .withColumn("_best", (F.col("_ra") == 1) & (F.col("_rb") == 1))
+            .select("a_id", "b_id", "prob", "_best")
+        )
+        # lazy checkpoint: the counting agg below is the one job that
+        # materializes the frontier, caches its blocks, and truncates
+        # lineage — isEmpty/extra checkpoints would each be another job
+        flags = flags.localCheckpoint(eager=False)
+        row = flags.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_best").cast("long")).alias("nb"),
+        ).collect()[0]
+        n, nb = row["n"], row["nb"] or 0
+        if nb == 0:  # implies n == 0 (see docstring)
+            break
+        best = flags.filter(F.col("_best")).select("a_id", "b_id", "prob")
+        accepted_parts.append(best)
+        if nb == n:  # every remaining edge was accepted — frontier is empty
+            break
+        remaining = (
+            flags.filter(~F.col("_best"))
+            .join(best.select("a_id"), "a_id", "left_anti")
+            .join(best.select("b_id"), "b_id", "left_anti")
             .select("a_id", "b_id", "prob")
         )
-        best = best.localCheckpoint()
-        if best.isEmpty():
-            break
-        accepted = best if accepted is None else accepted.unionByName(best)
-        matched_a = best.select("a_id")
-        matched_b = best.select("b_id")
-        remaining = (
-            remaining.join(matched_a, "a_id", "left_anti")
-            .join(matched_b, "b_id", "left_anti")
-            .localCheckpoint()
-        )
-    if accepted is None:
+    if not accepted_parts:
         # schema-stable empty result derived from the input (ids keep
         # their incoming type — string conv_ids or long doc_ids alike)
         return predictions.select(
             "a_id", "b_id", F.col(prob_col).cast("double").alias("prob")
         ).limit(0)
+    accepted = accepted_parts[0]
+    for part in accepted_parts[1:]:
+        accepted = accepted.unionByName(part)
     return accepted
 
 
