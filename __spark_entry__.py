@@ -257,6 +257,11 @@ def q_threshold_sweep(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("label").cast("long").alias("pos"),
     )
+    # the ≤100-row bucket agg is referenced three times below (lhs,
+    # broadcast rhs, total); checkpoint it so the expensive _scored_pairs
+    # subtree is computed exactly once, not re-derived per branch if the
+    # optimizer misses exchange reuse
+    agg = agg.localCheckpoint()
     # the cumulative sums run over ≤100 bucket rows (the threshold grid,
     # not data rows). A global window here would move them to a single
     # partition — correct but it spams the WindowExec no-partition warning
@@ -474,6 +479,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(e, e, k=5, id_col="vec_id", vec_col="embedding")
 
 
+def q_ann_lsh_portable(spark, sf_dir):
+    """Hyperplane LSH with the pinned portable plane spec (integer plane
+    dots over 6-dp-quantized components) — the value-verified sibling of
+    ann_lsh_topk, the way ann_ivf_topk verifies the IVF family."""
+    from ertransfer_spark.operators.simsearch import lsh_topk_portable
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk_portable(e, e, k=5, id_col="vec_id", vec_col="embedding")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN, deterministic 'seeded' variant: cells from portable
     id-hash seeds + n_probe nearest-cell search — every step has a DuckDB
@@ -688,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_portable": q_ann_lsh_portable,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         # text analysis
@@ -718,7 +734,10 @@ def oracle_sql() -> dict[str, str]:
         minhash_portable_duckdb_sql,
         simhash_duckdb_sql,
     )
-    from ertransfer_spark.operators.simsearch import ivf_seeded_duckdb_sql
+    from ertransfer_spark.operators.simsearch import (
+        ivf_seeded_duckdb_sql,
+        lsh_portable_duckdb_sql,
+    )
 
     norm = DUCKDB_NORM.format(col="text")
     label_int = f"CAST(CASE WHEN {LABEL_EXPR} THEN 1 ELSE 0 END AS BIGINT)"
@@ -930,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": minhash_portable_duckdb_sql(),
         "ann_ivf_topk": ivf_seeded_duckdb_sql(k=5, n_lists=8, n_probe=3),
+        "ann_lsh_portable": lsh_portable_duckdb_sql(k=5, n_planes=8, n_tables=4),
         "simhash": simhash_duckdb_sql("text"),
         "doc_fingerprints": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -108,15 +108,22 @@ def sample_negative_pairs(
 ) -> DataFrame:
     """J7: random negative sampling as a loop-free anti-join
     (splitters/random-split/splitter.py:35-49 rejection-samples one pair at
-    a time; here: oversample both sides with F.rand(seed), zip by
+    a time; here: oversample both sides by a seeded hash order, zip by
     row_number, anti-join the golden set, limit(n)). Deterministic under a
     fixed seed and input set (order-independence comes from sorting by a
     seeded hash, not by input row position).
 
-    The zip row_number windows are single-partition BY CONSTRUCTION (their
-    input is the limit(over) sample, ≤ 1.5n+16 rows) — partitionBy(lit(1))
-    states that explicitly so the WindowExec no-partition warning can't
-    mask a real one elsewhere."""
+    Distribution vs the reference: pairs are uniform over A×B minus
+    matches with per-id marginals uniform across seeds (property-tested in
+    tests/test_properties.py). Deliberate deviation: ids are drawn without
+    replacement WITHIN one sample (the reference's rejection loop can
+    repeat an id across pairs); at n ≪ |A| the two are indistinguishable.
+
+    The zip row_number windows run over the limit(over) sample
+    (≤ 1.5n+16 rows), so the single-partition sort is bounded by
+    construction. The partitionBy(lit(1)) key is documentation-only:
+    Catalyst prunes foldable partition keys, so the WindowExec
+    no-partition warning still fires for these tiny windows."""
     over = int(n * 1.5) + 16
     w_zip = Window.partitionBy(F.lit(1))
     a = (

@@ -80,7 +80,12 @@ def train_matcher(
     other split reuses the train statistics exactly like the reference.
     """
     from pyspark.ml import Pipeline
-    from pyspark.ml.classification import GBTClassifier, LogisticRegression
+    from pyspark.ml.classification import (
+        DecisionTreeClassifier,
+        GBTClassifier,
+        LogisticRegression,
+        RandomForestClassifier,
+    )
     from pyspark.ml.feature import Imputer, StandardScaler, VectorAssembler
 
     stages = []
@@ -115,10 +120,65 @@ def train_matcher(
         clf = GBTClassifier(
             featuresCol=features_col, labelCol=label_col, maxIter=40, maxDepth=4, seed=seed
         )
+    elif algorithm == "rf":
+        # the reference's DEFAULT verifier (em.RFMatcher,
+        # methods/magellan/entrypoint.py:70)
+        clf = RandomForestClassifier(
+            featuresCol=features_col, labelCol=label_col,
+            numTrees=50, maxDepth=8, seed=seed,
+        )
+    elif algorithm == "dt":
+        # em.DTMatcher (methods/magellan/entrypoint.py:66)
+        clf = DecisionTreeClassifier(
+            featuresCol=features_col, labelCol=label_col, maxDepth=8, seed=seed
+        )
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
     stages.append(clf)
     return Pipeline(stages=stages).fit(featurized_train)
+
+
+def select_matcher(
+    featurized_train: DataFrame,
+    algorithms: tuple = ("logreg", "gbt", "rf", "dt"),
+    n_folds: int = 5,
+    seed: int = 42,
+    label_col: str = "label",
+    threshold: float = 0.5,
+) -> tuple[str, dict[str, float]]:
+    """K-fold cross-validated matcher selection — the
+    ``em.select_matcher([dt, svm, rf, lg, ...], k=5, metric='f1')``
+    protocol the reference documents (commented out at
+    methods/magellan/entrypoint.py:116-117, the py_entitymatching
+    model-selection guide it links).
+
+    Folds are a deterministic hash bucket on (a_id, b_id, seed) — exact
+    same folds every run, order- and partitioning-independent (the Spark
+    analog of the reference's ``random_state``). For each algorithm:
+    train on k-1 folds, score the held-out fold, pool the held-out
+    predictions, and compute F1 at ``threshold``; the algorithm with the
+    best pooled CV F1 wins (ties break toward the earlier entry in
+    ``algorithms``, mirroring the reference's stable selection order).
+
+    Returns (best_algorithm, {algorithm: cv_f1}). Retrain the winner on
+    the FULL train split with :func:`train_matcher` — selection and final
+    fit are separate, as in the reference.
+    """
+    fold = F.pmod(F.xxhash64("a_id", "b_id", F.lit(seed)), F.lit(n_folds))
+    folded = featurized_train.withColumn("_fold", fold).localCheckpoint()
+    scores: dict[str, float] = {}
+    for algo in algorithms:
+        pooled = None
+        for f in range(n_folds):
+            train = folded.filter(F.col("_fold") != f)
+            held = folded.filter(F.col("_fold") == f)
+            model = train_matcher(train, algorithm=algo, label_col=label_col, seed=seed)
+            preds = score(model, held, keep_cols=("a_id", "b_id", label_col))
+            pooled = preds if pooled is None else pooled.unionByName(preds)
+        m = evaluate_predictions(pooled, threshold=threshold)
+        scores[algo] = m["f1"]
+    best = max(algorithms, key=lambda a: scores[a])
+    return best, scores
 
 
 class LocalLogisticModel:

@@ -524,6 +524,182 @@ def ivf_seeded_duckdb_sql(
     """
 
 
+def lsh_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Hyperplane LSH with a fully PORTABLE plane spec → (query_id, nbr_id,
+    sim_r) — the value-verifiable sibling of :func:`lsh_topk` (murmur3
+    planes, the throughput path), the way ``ivf_topk(method='seeded')`` is
+    the verifiable sibling of the KMeans IVF.
+
+    Pinned spec (every step exact integer arithmetic, so bucket bits are
+    bit-identical in any engine — no float-summation-order hazard):
+
+    - plane weight w[P][i] = th(``pl:{P}:{i}``) % 2001 - 1000, where th is
+      the pinned polynomial hash (operators/dedup.py: fold (h*31+ascii)
+      mod 2^31-1, seed 7) — integers in [-1000, 1000];
+    - quantized vector q[i] = CAST(round(v[i] * 1e6) AS BIGINT);
+    - bit(P) = 1 iff Σ_i q[i]·w[P][i] > 0 (exact BIGINT dot);
+    - table t's bucket key = the n_planes bits of planes
+      [t·n_planes, (t+1)·n_planes) concatenated;
+    - candidates = bucket collisions in any table (distinct, self-pairs
+      dropped), then the proven-portable exact cosine re-rank (4 dp
+      rounding, nbr_id tie-break).
+
+    Plane weights are generated on the driver from the same spec and baked
+    into the plan as literals (tiny: n_tables·n_planes·dim ints); the
+    DuckDB twin (:func:`lsh_portable_duckdb_sql`) re-derives them from the
+    hash spec in SQL, so the oracle verifies the spec itself cross-engine.
+    """
+    dim = len(
+        corpus.select(_as_double(vec_col).alias("v")).filter(F.col("v").isNotNull()).first()["v"]
+    )
+    total_planes = n_tables * n_planes
+    weights = [
+        [_poly_hash(f"pl:{p}:{i}") % 2001 - 1000 for i in range(dim)]
+        for p in range(total_planes)
+    ]
+
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        qv = F.transform(
+            _as_double(vec_col), lambda x: F.round(x * 1e6).cast("long")
+        )
+        out = df.select(F.col(id_col).cast("long").alias(f"{side}_id"), qv.alias("_q"))
+        tables = []
+        for t in range(n_tables):
+            bits = []
+            for p in range(n_planes):
+                w = F.array(*[F.lit(x) for x in weights[t * n_planes + p]])
+                dot = F.aggregate(
+                    F.zip_with(F.col("_q"), w, lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                bits.append((dot > 0).cast("int").cast("string"))
+            tables.append(
+                out.select(
+                    f"{side}_id",
+                    F.lit(t).alias("tbl"),
+                    F.concat_ws("", *bits).alias("bucket"),
+                )
+            )
+        res = tables[0]
+        for x in tables[1:]:
+            res = res.unionByName(x)
+        return res
+
+    cand = (
+        bucketed(queries, "q")
+        .join(bucketed(corpus, "c"), ["tbl", "bucket"])
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("nbr_id"))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .distinct()
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col("_v").alias("qv"), F.col("_norm").alias("qn"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).cast("long").alias("nbr_id"),
+        F.col("_v").alias("cv"), F.col("_norm").alias("cn"),
+    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "nbr_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(
+                F.when((F.col("qn") > 0) & (F.col("cn") > 0), sim).otherwise(F.lit(0.0)),
+                round_dp,
+            ).alias("sim_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def _poly_hash(s: str, mod: int = 2147483647, seed: int = 7) -> int:
+    """Driver-side twin of operators/dedup._token_hash_expr (pinned spec)."""
+    h = seed
+    for ch in s:
+        h = (h * 31 + ord(ch)) % mod
+    return h
+
+
+def lsh_portable_duckdb_sql(
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`lsh_topk_portable` — re-derives the plane
+    weights from the pinned polynomial hash IN SQL (so the oracle verifies
+    the cross-engine spec, not driver-shipped literals), quantizes vectors
+    the same way, and replays bucketing + exact cosine top-k."""
+    total = n_tables * n_planes
+    th = (
+        "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        "list_transform(range(1, 1 + length({G})), "
+        "i -> CAST(ascii(substr({G}, i, 1)) AS BIGINT))), "
+        "(h, c) -> (h * 31 + c) % 2147483647)"
+    )
+    w_expr = th.format(
+        G="('pl:' || CAST(p.p AS VARCHAR) || ':' || CAST(d.i AS VARCHAR))"
+    )
+    return f"""
+      WITH e AS (
+        SELECT CAST({id_col} AS BIGINT) AS id, {vec_col}::DOUBLE[] AS v FROM {table}
+      ), q AS (
+        SELECT id, v,
+               list_transform(v, x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+        FROM e
+      ), pl AS (
+        SELECT p.p,
+               list(({w_expr}) % 2001 - 1000 ORDER BY d.i) AS w
+        FROM (SELECT unnest(range(0, {total})) AS p) p,
+             (SELECT unnest(range(0, (SELECT max(len(v)) FROM e))) AS i) d
+        GROUP BY p.p
+      ), bits AS (
+        SELECT q.id, pl.p // {n_planes} AS tbl, pl.p,
+               CASE WHEN list_sum(list_transform(range(1, 1 + len(q.qv)),
+                      i -> q.qv[i] * pl.w[i])) > 0 THEN '1' ELSE '0' END AS bit
+        FROM q CROSS JOIN pl
+      ), keys AS (
+        SELECT id, tbl, string_agg(bit, '' ORDER BY p) AS bucket
+        FROM bits GROUP BY id, tbl
+      ), cand AS (
+        SELECT DISTINCT x.id AS query_id, y.id AS nbr_id
+        FROM keys x JOIN keys y ON x.tbl = y.tbl AND x.bucket = y.bucket
+        WHERE x.id <> y.id
+      ), scored AS (
+        SELECT c.query_id, c.nbr_id,
+               round(CASE WHEN list_dot_product(a.v, a.v) > 0
+                               AND list_dot_product(b.v, b.v) > 0
+                          THEN list_cosine_similarity(a.v, b.v) ELSE 0.0 END, 4) AS sim_r
+        FROM cand c JOIN e a ON a.id = c.query_id JOIN e b ON b.id = c.nbr_id
+      )
+      SELECT query_id, nbr_id, sim_r FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, nbr_id) AS rk
+        FROM scored
+      ) WHERE rk <= {k}
+    """
+
+
 def _hyperplane_sign(vec: Column, plane: int, seed: int) -> Column:
     """sign(v · h_plane) where h_plane[i] = deterministic pseudo-random ±/value
     from murmur3(i, plane, seed), scaled to [-1, 1]. Pure JVM expression."""

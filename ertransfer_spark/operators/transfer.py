@@ -63,6 +63,9 @@ def kl_association(
             "n_pairs",
         )
     )
+    # n_datasets rows, referenced three times (both bucketing passes + the
+    # grid) — checkpoint so the candidate agg runs once, not per branch
+    ranges = ranges.localCheckpoint()
 
     def bucket(sim):
         width_pos = F.col("hi") > F.col("lo")
@@ -97,6 +100,8 @@ def kl_association(
     kl = joined.groupBy("dataset", "n_pairs").agg(
         F.round(F.sum(p * F.log(p / q)), round_dp).alias("kl_r")
     )
+    # one row per dataset, referenced twice by the rank self-join below
+    kl = kl.localCheckpoint()
     # the rank runs over one row per DATASET (a handful, never per pair).
     # A global row_number window would be correct but warns on every run —
     # and partitionBy(lit(1)) doesn't silence it (Catalyst prunes foldable

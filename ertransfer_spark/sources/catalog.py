@@ -30,6 +30,17 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _fsync_dir(path: Path) -> None:
+    """fsync a directory entry so a just-renamed child is durable across
+    power loss (POSIX: rename atomicity does not imply durability until
+    the containing directory is synced)."""
+    fd = os.open(str(path), os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.org.apache.iceberg.Table  # noqa: B018
@@ -77,6 +88,7 @@ class SnapshotCatalog:
         if snap.exists():
             shutil.rmtree(snap)
         os.rename(tmp, snap)
+        _fsync_dir(d)  # make the data-dir rename durable, not just atomic
         manifest = {
             "table": table,
             "snapshot": snap.name,
@@ -95,6 +107,10 @@ class SnapshotCatalog:
             f.flush()
             os.fsync(f.fileno())
         os.rename(mtmp, snap / "_MANIFEST.json")
+        # fsync the snapshot dir so the manifest rename itself survives
+        # power loss — without this the commit is atomic for process
+        # crashes only, weaker than the Iceberg-commit semantics claimed
+        _fsync_dir(snap)
         return snap
 
     def append(self, table: str, df: DataFrame, meta: dict | None = None) -> Path:

@@ -88,7 +88,17 @@ def main() -> None:
         (F.least(F.length("a_norm"), F.length("b_norm"))
          / F.greatest(F.length("a_norm"), F.length("b_norm"), F.lit(1)).cast("double")).alias("len_ratio"),
     )
-    timed("no_jaro_winkler", no_jw.select("a_id", F.col("jaccard_tokens") + F.col("levenshtein_sim")))
+    # sum EVERY retained feature so column pruning can't eliminate any of
+    # them — otherwise the variant measures only jaccard+levenshtein, not
+    # "featurize minus the JW UDF"
+    timed(
+        "no_jaro_winkler",
+        no_jw.select(
+            "a_id",
+            F.col("jaccard_tokens") + F.col("dice_tokens") + F.col("cosine_tokens")
+            + F.col("overlap_tokens") + F.col("levenshtein_sim") + F.col("len_ratio"),
+        ),
+    )
 
     # JVM set sims only (no levenshtein, no UDF)
     sets_only = full.select(

@@ -66,3 +66,47 @@ def test_synth_deterministic(spark):
     a1, b1, m1 = generate(SynthConfig(n_conversations=40, seed=5))
     a2, b2, m2 = generate(SynthConfig(n_conversations=40, seed=5))
     assert a1.equals(a2) and b1.equals(b2) and m1.equals(m2)
+
+
+def test_negative_sampling_marginals(spark, spark_corpora):
+    """sample_negative_pairs distribution parity with the reference's
+    rejection sampler (splitters/random-split/splitter.py:35-49): pairs
+    are uniform over A×B minus matches — never a golden match, never a
+    duplicate, exactly n, deterministic under seed, and the per-id
+    marginals are near-uniform across seeds (every id reachable, no id
+    favored). Deliberate deviation, documented in the docstring: ids are
+    drawn without replacement WITHIN one sample (the reference can repeat
+    an id across pairs); at n ≪ |A| the two are indistinguishable and the
+    cross-seed marginal check below is the property that matters."""
+    from collections import Counter
+
+    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.operators.labeling import sample_negative_pairs
+
+    ta, tb, matches = spark_corpora
+    ra, rb = canonicalize(ta).localCheckpoint(), canonicalize(tb).localCheckpoint()
+    golden = {(r["a_conv_id"], r["b_conv_id"]) for r in matches.collect()}
+    n_a = ra.count()
+
+    freq: Counter = Counter()
+    n = 12
+    seeds = range(30)
+    for s in seeds:
+        rows = sample_negative_pairs(ra, rb, matches, n=n, seed=100 + s).collect()
+        pairs = [(r["a_id"], r["b_id"]) for r in rows]
+        assert len(pairs) == n
+        assert len(set(pairs)) == n                      # no duplicates
+        assert not (set(pairs) & golden)                 # never a match
+        freq.update(p[0] for p in pairs)
+    # determinism under seed
+    again = sample_negative_pairs(ra, rb, matches, n=n, seed=100).collect()
+    assert [(r["a_id"], r["b_id"]) for r in again] == [
+        (r["a_id"], r["b_id"])
+        for r in sample_negative_pairs(ra, rb, matches, n=n, seed=100).collect()
+    ]
+    # marginal near-uniformity: expected picks per a_id = n*|seeds|/|A| = 6;
+    # a uniform sampler concentrates well inside [1, 18] at these counts
+    # (p(miss-every-seed) ≈ (1-0.2)^30 < 0.2% per id), while any
+    # hash-bias toward a fixed subset would zero-out the rest
+    assert len(freq) >= int(0.8 * n_a)
+    assert max(freq.values()) <= 6 * 3
