@@ -73,17 +73,26 @@ class SnapshotCatalog:
         return bool(self.snapshots(table))
 
     def commit(self, table: str, df: DataFrame, meta: dict | None = None,
-               mode: str = "overwrite") -> Path:
+               mode: str = "overwrite", partition_by: list[str] | None = None) -> Path:
         """Write df as the next snapshot of ``table``; manifest written last
         (atomic visibility). ``mode='append'`` marks the snapshot as a
         delta: :meth:`read` unions every append snapshot since the last
         overwrite — the Iceberg fast-append analog. Earlier snapshot files
-        are never touched."""
+        are never touched.
+
+        ``partition_by`` hive-partitions the snapshot's files by the named
+        columns (``snap-n/<col>=<v>/part-*.parquet``) — the Iceberg
+        bucket-partitioning analog that lets :meth:`read_buckets` prune
+        point-lookup reads to the named buckets instead of scanning the
+        whole table."""
         d = self._table_dir(table)
         d.mkdir(parents=True, exist_ok=True)
         n = len([p for p in d.iterdir() if p.name.startswith("snap-")])
         tmp = d / f"_tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(str(tmp))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(tmp))
         snap = d / f"snap-{n:05d}"
         if snap.exists():
             shutil.rmtree(snap)
@@ -95,6 +104,7 @@ class SnapshotCatalog:
             "committed_at": time.time(),
             "schema": df.schema.json(),
             "mode": mode,
+            "partition_by": partition_by or [],
             **(meta or {}),
         }
         # manifest-last AND manifest-atomic: a kill before the rename leaves
@@ -113,10 +123,11 @@ class SnapshotCatalog:
         _fsync_dir(snap)
         return snap
 
-    def append(self, table: str, df: DataFrame, meta: dict | None = None) -> Path:
+    def append(self, table: str, df: DataFrame, meta: dict | None = None,
+               partition_by: list[str] | None = None) -> Path:
         """Append-only commit: writes ONLY ``df``'s rows as a new delta
         snapshot — per-commit cost is O(|df|), never O(table)."""
-        return self.commit(table, df, meta=meta, mode="append")
+        return self.commit(table, df, meta=meta, mode="append", partition_by=partition_by)
 
     def _active_snaps(self, table: str) -> list[Path]:
         """Snapshots visible to read(): the last overwrite plus every
@@ -137,7 +148,56 @@ class SnapshotCatalog:
         snaps = self._active_snaps(table)
         if not snaps:
             raise FileNotFoundError(f"no committed snapshot for table {table!r}")
-        return self.spark.read.parquet(*[str(p) for p in snaps])
+        if len(snaps) == 1 or not self._is_partitioned(snaps):
+            return self.spark.read.parquet(*[str(p) for p in snaps])
+        # Partitioned snapshots are each their own partition-discovery root;
+        # Spark refuses multiple roots in one load, so union per-snapshot
+        # reads (driver cost O(snapshots); each read stays pruned/lazy).
+        out = self.spark.read.parquet(str(snaps[0]))
+        for p in snaps[1:]:
+            out = out.unionByName(self.spark.read.parquet(str(p)))
+        return out
+
+    def _is_partitioned(self, snaps: list[Path]) -> bool:
+        for p in snaps:
+            with open(p / "_MANIFEST.json") as f:
+                if json.load(f).get("partition_by"):
+                    return True
+        return False
+
+    def bucket_dirs(self, table: str, buckets: list[int],
+                    bucket_col: str = "_bucket") -> list[Path]:
+        """The hive-partition directories of the ACTIVE snapshots that hold
+        the named buckets — only dirs that exist (a delta that wrote no row
+        into a bucket has no dir for it). Driver cost is O(snapshots ×
+        |buckets|) stat calls, independent of table size."""
+        dirs: list[Path] = []
+        for snap in self._active_snaps(table):
+            for b in buckets:
+                d = snap / f"{bucket_col}={int(b)}"
+                if d.exists():
+                    dirs.append(d)
+        return dirs
+
+    def read_buckets(self, table: str, buckets: list[int],
+                     bucket_col: str = "_bucket") -> DataFrame:
+        """Partition-pruned point read: scan ONLY the files of the named
+        buckets across the active snapshots. This is the Iceberg
+        `bucket(B, id)` partition-pruning analog for the plain-parquet
+        catalog: per-lookup I/O scales with the buckets touched, never with
+        the table. The bucket column itself is a directory name, so it is
+        NOT part of the returned schema. Raises FileNotFoundError when the
+        table has no committed snapshot; returns an empty scan (caller
+        handles) only when the table exists but none of the buckets do."""
+        if not self._active_snaps(table):
+            raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        dirs = self.bucket_dirs(table, buckets, bucket_col)
+        if not dirs:
+            # table exists but no requested bucket has data: empty frame
+            # with the table's data schema (partition col excluded)
+            full = self.read(table)
+            return full.drop(bucket_col).limit(0)
+        return self.spark.read.parquet(*[str(d) for d in dirs])
 
     def manifest(self, table: str) -> dict:
         snaps = self.snapshots(table)

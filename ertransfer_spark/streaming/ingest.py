@@ -129,6 +129,7 @@ def incremental_dedup_stream(
     min_jaccard: float = 0.6,
     n_hashes: int = 96,
     bands: int = 32,
+    n_buckets: int = 16,
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
 ):
@@ -143,8 +144,15 @@ def incremental_dedup_stream(
       records are the only rows written; earlier snapshot files are never
       rewritten (Iceberg fast-append semantics).
     - exact-jaccard verification touches only records named by a candidate
-      pair (semi-join on candidate ids; on a real deployment the corpus
-      table is id-bucketed so this fetch is partition-pruned).
+      pair, AND only the FILES that can hold them: corpus commits are
+      hive-partitioned by ``_bucket = pmod(xxhash64(conv_id), n_buckets)``
+      and the verify read goes through ``catalog.read_buckets`` — per-batch
+      verify I/O is O(|candidate buckets|), never a full corpus scan
+      (Iceberg ``bucket(B, conv_id)`` partition-pruning analog). The band
+      INDEX (`bands_table`) is still read in full for the bucket join —
+      that is the LSH index probe; at deployment scale the index lives in
+      a key-value/Iceberg table keyed by (band_idx, band_hash) and the
+      probe is itself a point lookup.
 
     Pair orientation: a pair {existing, new} may arrive in either id
     order, so pairs are canonicalized with least/greatest BEFORE the
@@ -211,12 +219,22 @@ def incremental_dedup_stream(
         )
         n_cand = cand.count()
 
-        # verify: fetch ONLY records named by a candidate pair
+        # verify: fetch ONLY records named by a candidate pair, reading
+        # ONLY the corpus buckets those ids hash into (partition-pruned —
+        # the distinct-bucket collect is bounded by n_buckets, not rows)
         need = cand.select(F.col("a_id").alias("conv_id")).unionByName(
             cand.select(F.col("b_id").alias("conv_id"))
         ).distinct()
+        hit_buckets = [
+            r[0]
+            for r in need.select(
+                F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("b")
+            ).distinct().collect()
+        ]
         try:
-            old = catalog.read(corpus_table).select("conv_id", "shingle_set")
+            old = catalog.read_buckets(corpus_table, hit_buckets).select(
+                "conv_id", "shingle_set"
+            )
         except FileNotFoundError:
             old = new.select("conv_id", "shingle_set").limit(0)
         lookup = (
@@ -237,7 +255,12 @@ def incremental_dedup_stream(
 
         n_new = new.count()
         n_pairs = pairs.count()
-        catalog.append(corpus_table, new, meta={"batch_id": batch_id})
+        catalog.append(
+            corpus_table,
+            new.withColumn("_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))),
+            meta={"batch_id": batch_id},
+            partition_by=["_bucket"],
+        )
         catalog.append(
             bands_table,
             new_bands.select("n_id", "band_idx", "band_hash"),

@@ -208,6 +208,60 @@ def test_incremental_dedup_stream(spark, tmp_path):
     assert found == want
 
 
+def test_incremental_dedup_bucket_pruning(spark, tmp_path):
+    """The streaming verify's corpus lookup must be partition-pruned: corpus
+    commits are hive-partitioned by _bucket=pmod(xxhash64(conv_id), B), and
+    a read_buckets point lookup scans ONLY those buckets' files — per-batch
+    verify I/O scales with the candidate set, not the corpus."""
+    from ertransfer_spark.sources.catalog import SnapshotCatalog
+    from ertransfer_spark.synth import SynthConfig, generate
+
+    ta, tb, _ = generate(SynthConfig(n_conversations=24, match_fraction=0.5, seed=9))
+    src = tmp_path / "turns"
+    src.mkdir()
+    catalog = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    _write_batch(src, "b1.json", ta)
+    _drain_dedup(spark, src, catalog, tmp_path / "ck1")
+    _write_batch(src, "b2.json", tb)
+    _drain_dedup(spark, src, catalog, tmp_path / "ck1")
+
+    # corpus snapshots are bucket-partitioned
+    snap0 = tmp_path / "cat" / "corpus_records" / "snap-00000"
+    assert any(p.name.startswith("_bucket=") for p in snap0.iterdir())
+
+    full_files = set(catalog.read("corpus_records").inputFiles())
+    # a single-bucket point read touches ONLY that bucket's files …
+    some_bucket = int(
+        next(p.name for p in snap0.iterdir() if p.name.startswith("_bucket=")).split("=")[1]
+    )
+    pruned = catalog.read_buckets("corpus_records", [some_bucket])
+    pruned_files = set(pruned.inputFiles())
+    assert pruned_files and pruned_files < full_files
+    assert all(f"_bucket={some_bucket}/" in f for f in pruned_files)
+
+    # … and the union over all buckets is exactly the full corpus
+    all_buckets = sorted(
+        {
+            int(p.name.split("=")[1])
+            for snap in (tmp_path / "cat" / "corpus_records").iterdir()
+            if snap.name.startswith("snap-")
+            for p in snap.iterdir()
+            if p.name.startswith("_bucket=")
+        }
+    )
+    union_ids = {
+        r["conv_id"]
+        for r in catalog.read_buckets("corpus_records", all_buckets)
+        .select("conv_id").collect()
+    }
+    full_ids = {r["conv_id"] for r in catalog.read("corpus_records").select("conv_id").collect()}
+    assert union_ids == full_ids
+
+    # missing-bucket point read: empty frame, no crash, data schema intact
+    empty = catalog.read_buckets("corpus_records", [10**6])
+    assert empty.count() == 0 and "conv_id" in empty.columns
+
+
 def test_incremental_dedup_cross_batch_orientation(spark, tmp_path):
     """Adversarial id order: the EXISTING record's id sorts AFTER the new
     record's id (B-side ingested first, A-side second). A join-output
