@@ -241,10 +241,23 @@ def pair_features_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return _pair_features_batch(a, b)
 
 
-def features_native(a_norm: Column, b_norm: Column, a_tokens: Column, b_tokens: Column) -> list[Column]:
+def features_native(
+    a_norm: Column,
+    b_norm: Column,
+    a_tokens: Column,
+    b_tokens: Column,
+    lengths: tuple[Column, Column] | None = None,
+) -> list[Column]:
     """The same features as pure Column expressions where Spark has JVM
     builtins — preferred in the hot path (levenshtein, set sims); only
-    jaro_winkler needs the pandas UDF."""
+    jaro_winkler needs the pandas UDF.
+
+    ``lengths``: the ORIGINAL (untruncated) agValue lengths when the norm
+    columns were shipped truncated (attach_pair_text truncate=...);
+    len_ratio then reads them so the feature stays value-identical to the
+    full-text path."""
+    len_a = lengths[0] if lengths else F.length(a_norm)
+    len_b = lengths[1] if lengths else F.length(b_norm)
     return [
         jaccard(a_tokens, b_tokens).alias("jaccard_tokens"),
         dice(a_tokens, b_tokens).alias("dice_tokens"),
@@ -253,7 +266,7 @@ def features_native(a_norm: Column, b_norm: Column, a_tokens: Column, b_tokens: 
         levenshtein_sim(F.substring(a_norm, 1, 256), F.substring(b_norm, 1, 256)).alias("levenshtein_sim"),
         jaro_winkler_udf(F.substring(a_norm, 1, 64), F.substring(b_norm, 1, 64)).alias("jaro_winkler"),
         (
-            F.least(F.length(a_norm), F.length(b_norm))
-            / F.greatest(F.length(a_norm), F.length(b_norm), F.lit(1)).cast("double")
+            F.least(len_a, len_b)
+            / F.greatest(len_a, len_b, F.lit(1)).cast("double")
         ).alias("len_ratio"),
     ]

@@ -431,6 +431,8 @@ def sorted_neighborhood(
     u = u.repartitionByRange(n_parts, "key", "rid").withColumn(
         "pid", F.spark_partition_id()
     )
+    # driver collect is O(partitions) — one tiny row per range partition,
+    # independent of record count; never a row-scale collect
     counts = {r["pid"]: r["n"] for r in u.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
     offsets = {}
     acc = 0

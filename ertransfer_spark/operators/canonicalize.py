@@ -25,6 +25,7 @@ def canonicalize(
     transcripts: DataFrame,
     id_col: str = "conv_id",
     keep_turns: bool = False,
+    extra_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Returns (conv_id, agValue, tokens, token_set, n_turns, n_tokens
     [, turns]).
@@ -33,11 +34,13 @@ def canonicalize(
     - ``tokens``/``token_set``: pinned tokenization of agValue (F1-F4 input).
     - ``turns``: the ordered struct array, kept only for the round-trip
       invariant test (per-turn text equality under stable turn ordering).
+    - ``extra_group_cols``: columns functionally dependent on ``id_col``
+      (e.g. a source-side tag) carried through the groupBy as extra keys.
     """
     turns = F.array_sort(
         F.collect_list(F.struct(F.col("turn_idx"), F.col("role"), F.col("text"), F.col("tool")))
     )
-    agg = transcripts.groupBy(id_col).agg(
+    agg = transcripts.groupBy(id_col, *(extra_group_cols or [])).agg(
         turns.alias("turns"),
         F.count(F.lit(1)).alias("n_turns"),
         F.min("ts").alias("first_ts"),
@@ -61,6 +64,36 @@ def canonicalize(
     if not keep_turns:
         rec = rec.drop("turns")
     return rec
+
+
+def canonicalize_sides(
+    transcripts_a: DataFrame,
+    transcripts_b: DataFrame,
+    id_col: str = "conv_id",
+    checkpoint: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Canonicalize BOTH sources as ONE job: union with a side tag, one
+    groupBy shuffle over 2x the rows, one materialization, then split
+    lazily by the tag.
+
+    Why: two sequential per-side actions each end with a straggler tail
+    that idles most of a wide cluster (measured: the canonicalize stage
+    scaled at 0.37-0.43 efficiency 8->32 cores as two eager actions).
+    One action over the union keeps every core busy to a single tail and
+    halves job-submission latency. Requires the two sources' ids to be
+    collision-free across sides (the synth corpus prefixes ``a_``/``b_``;
+    the CLI namespaces raw table ids) — grouping additionally by the tag
+    makes the result correct even when they do collide.
+    """
+    tagged = transcripts_a.withColumn("_side", F.lit("a")).unionByName(
+        transcripts_b.withColumn("_side", F.lit("b"))
+    )
+    rec = canonicalize(tagged, id_col=id_col, extra_group_cols=["_side"])
+    if checkpoint:
+        rec = rec.localCheckpoint()
+    ra = rec.filter(F.col("_side") == "a").drop("_side")
+    rb = rec.filter(F.col("_side") == "b").drop("_side")
+    return ra, rb
 
 
 def canonicalize_table(

@@ -36,28 +36,51 @@ def attach_pair_text(
     records_a: DataFrame,
     records_b: DataFrame,
     id_col: str = "conv_id",
+    truncate: int | None = None,
 ) -> DataFrame:
     """pairs(a_id,b_id,...) + canonical records → + (a_norm, b_norm,
     a_tokens, b_tokens). Two equi-joins; Catalyst/AQE picks broadcast when
-    a record side fits."""
+    a record side fits.
+
+    ``truncate``: ship only the first N chars of each agValue, plus the
+    original length as ``a_len``/``b_len``. With N >= 256 the feature
+    vector is VALUE-IDENTICAL (featurize's levenshtein/jaro-winkler
+    already cap at 256/64 chars and len_ratio reads the shipped lengths),
+    but the bytes crossing the pair-join shuffle drop by the full-text
+    tail — on transcript corpora agValues run to kilobytes, so this is a
+    several-fold shuffle-byte cut on the pipeline's widest stage. Leave
+    None where downstream needs the whole text (score_external's [SEP]
+    serialization)."""
+    a_norm = F.col("agValue") if truncate is None else F.substring("agValue", 1, truncate)
+    extra_a, extra_b = [], []
+    if truncate is not None:
+        extra_a = [F.length("agValue").alias("a_len")]
+        extra_b = [F.length("agValue").alias("b_len")]
     ra = records_a.select(
         F.col(id_col).alias("a_id"),
-        F.col("agValue").alias("a_norm"),
+        a_norm.alias("a_norm"),
         F.col("token_set").alias("a_tokens"),
+        *extra_a,
     )
     rb = records_b.select(
         F.col(id_col).alias("b_id"),
-        F.col("agValue").alias("b_norm"),
+        a_norm.alias("b_norm"),
         F.col("token_set").alias("b_tokens"),
+        *extra_b,
     )
     return pairs.join(ra, "a_id").join(rb, "b_id")
 
 
 def featurize(pairs_with_text: DataFrame) -> DataFrame:
+    lens = None
+    if {"a_len", "b_len"} <= set(pairs_with_text.columns):
+        lens = (F.col("a_len"), F.col("b_len"))
     feats = features_native(
-        F.col("a_norm"), F.col("b_norm"), F.col("a_tokens"), F.col("b_tokens")
+        F.col("a_norm"), F.col("b_norm"), F.col("a_tokens"), F.col("b_tokens"),
+        lengths=lens,
     )
-    keep = [c for c in pairs_with_text.columns if c not in ("a_norm", "b_norm", "a_tokens", "b_tokens")]
+    drop = {"a_norm", "b_norm", "a_tokens", "b_tokens", "a_len", "b_len"}
+    keep = [c for c in pairs_with_text.columns if c not in drop]
     return pairs_with_text.select(*keep, *feats)
 
 
@@ -69,7 +92,13 @@ def train_matcher(
     impute: bool = False,
     standardize: bool = False,
 ):
-    """Fit LR or GBT on the feature columns. Returns the fitted PipelineModel.
+    """Fit one of the matcher zoo on the feature columns. Returns the
+    fitted PipelineModel.
+
+    Zoo parity (methods/magellan/entrypoint.py:65-78): logreg=em.LogRegMatcher,
+    gbt≈em.XGBoostMatcher, rf=em.RFMatcher (the reference DEFAULT),
+    dt=em.DTMatcher, svm=em.SVMMatcher, linreg=em.LinRegMatcher,
+    nb=em.NBMatcher (GaussianNB).
 
     ``impute``: train-fit mean imputation (A8 parity — Magellan replaces
     NaN features by train-set column means and reuses them at test time,
@@ -131,6 +160,34 @@ def train_matcher(
         # em.DTMatcher (methods/magellan/entrypoint.py:66)
         clf = DecisionTreeClassifier(
             featuresCol=features_col, labelCol=label_col, maxDepth=8, seed=seed
+        )
+    elif algorithm == "svm":
+        # em.SVMMatcher (methods/magellan/entrypoint.py:67): linear SVM,
+        # decision at margin 0; score() maps the margin through a sigmoid
+        # so the (prob_class1 > 0.5) contract reproduces the margin sign
+        from pyspark.ml.classification import LinearSVC
+
+        clf = LinearSVC(
+            featuresCol=features_col, labelCol=label_col, maxIter=50, regParam=1e-4
+        )
+    elif algorithm == "linreg":
+        # em.LinRegMatcher (methods/magellan/entrypoint.py:69): ordinary
+        # least squares on the 0/1 label; score() clips the raw prediction
+        # to [0,1] (the reference's F11 clip) so it satisfies the
+        # prob_class1 contract
+        from pyspark.ml.regression import LinearRegression
+
+        clf = LinearRegression(
+            featuresCol=features_col, labelCol=label_col, regParam=1e-6
+        )
+    elif algorithm == "nb":
+        # em.NBMatcher (methods/magellan/entrypoint.py:68, sklearn
+        # GaussianNB): gaussian modelType — the similarity features are
+        # continuous, and gaussian NB accepts any real-valued input
+        from pyspark.ml.classification import NaiveBayes
+
+        clf = NaiveBayes(
+            featuresCol=features_col, labelCol=label_col, modelType="gaussian"
         )
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -338,9 +395,19 @@ def score(model, featurized: DataFrame, keep_cols: tuple = ("a_id", "b_id", "lab
 
     scored = model.transform(featurized)
     cols = [c for c in keep_cols if c in featurized.columns]
-    return scored.select(
-        *cols, vector_to_array("probability")[1].alias("prob_class1")
-    )
+    if "probability" in scored.columns:
+        prob = vector_to_array("probability")[1]
+    elif "rawPrediction" in scored.columns:
+        # margin-only classifiers (LinearSVC): sigmoid of the class-1
+        # margin — monotone, and prob > 0.5 iff the margin is positive,
+        # so threshold-0.5 decisions equal the SVM's own sign rule
+        margin = vector_to_array("rawPrediction")[1]
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    else:
+        # regression matchers (LinearRegression on the 0/1 label): the
+        # reference clips the raw prediction into [0,1] (F11)
+        prob = F.least(F.greatest(F.col("prediction"), F.lit(0.0)), F.lit(1.0))
+    return scored.select(*cols, prob.alias("prob_class1"))
 
 
 def score_external(

@@ -160,9 +160,9 @@ class ERPipeline:
         def _predict():
             if golden is not None and cfg.algorithm != "unsupervised":
                 splits = stratified_split(labeled, cfg.split_weights, cfg.seed)
-                train_ft = featurize(attach_pair_text(splits["train"], ra, rb))
+                train_ft = featurize(attach_pair_text(splits["train"], ra, rb, truncate=256))
                 model = train_matcher(train_ft, algorithm=cfg.algorithm, seed=cfg.seed)
-                all_ft = featurize(attach_pair_text(labeled, ra, rb))
+                all_ft = featurize(attach_pair_text(labeled, ra, rb, truncate=256))
                 preds = score(model, all_ft)
             else:
                 # no labels (or algorithm="unsupervised"): ZeroER-style GMM
@@ -173,7 +173,7 @@ class ERPipeline:
                     train_unsupervised,
                 )
 
-                all_ft = featurize(attach_pair_text(labeled, ra, rb))
+                all_ft = featurize(attach_pair_text(labeled, ra, rb, truncate=256))
                 um = train_unsupervised(all_ft, seed=cfg.seed)
                 preds = score_unsupervised(um, all_ft)
             return preds, [{"candidate_count": preds.count()}]

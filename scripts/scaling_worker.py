@@ -24,7 +24,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from ertransfer_spark.operators.blocking import top_k_token_join
-    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.operators.canonicalize import canonicalize_sides
     from ertransfer_spark.operators.clustering import (
         best_threshold,
         pairwise_metrics,
@@ -68,8 +68,11 @@ def main() -> None:
 
     t0 = time.time()
     t = t0
-    ra = canonicalize(sa).localCheckpoint()
-    rb = canonicalize(sb).localCheckpoint()
+    # one union-tagged canonicalize action instead of two sequential
+    # eager per-side checkpoints: each per-side action ended in a
+    # straggler tail idling most of the wide leg (stage efficiency
+    # 0.37-0.43 measured); one job over 2x rows has one tail
+    ra, rb = canonicalize_sides(sa, sb)
     t = mark("canonicalize", t)
     golden = referential_filter(matches, ra, rb)
     # blocking configuration measured variant-by-variant in
@@ -115,9 +118,17 @@ def main() -> None:
     # bounded sample were a 30-200 s fixed floor (train stage efficiency
     # 0.28-0.46 in every pre-fix run; decision-boundary parity with the
     # ML fit is asserted in tests/test_scaling_path.py).
-    model = train_matcher_local(featurize(attach_pair_text(train_pairs, ra, rb)))
+    # truncate=256: ship only the feature-relevant prefix + original
+    # length through the pair joins — value-identical features (parity
+    # test in tests/test_matcher_zoo.py), several-fold fewer bytes on the
+    # pipeline's widest shuffle
+    model = train_matcher_local(
+        featurize(attach_pair_text(train_pairs, ra, rb, truncate=256))
+    )
     t = mark("train", t)
-    preds = score(model, featurize(attach_pair_text(labeled, ra, rb))).localCheckpoint()
+    preds = score(
+        model, featurize(attach_pair_text(labeled, ra, rb, truncate=256))
+    ).localCheckpoint()
     n_pairs = preds.count()
     t = mark("score", t)
     accepted = unique_mapping_clusters(preds, best_threshold(preds))

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from ertransfer_spark.operators.canonicalize import canonicalize, explode_turns
 from ertransfer_spark.oracle import pandas_oracle as oracle
@@ -28,6 +29,28 @@ def test_agvalue_matches_oracle(spark, spark_corpora, corpora):
     got = recs.sort_values("conv_id").reset_index(drop=True)
     want = want.sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_canonicalize_sides_matches_per_side(spark, spark_corpora):
+    """The single-job union-tagged path (scaling pipeline) is row-identical
+    to two per-side canonicalize calls — including when the two sources
+    share raw conv_ids (the tag keeps groups side-local)."""
+    from ertransfer_spark.operators.canonicalize import canonicalize_sides
+
+    ta, tb = spark_corpora[0], spark_corpora[1]
+    # force an id collision: re-key B's rows onto A's id space
+    tb_clash = tb.withColumn(
+        "conv_id", F.regexp_replace("conv_id", "^b_", "a_")
+    )
+    for b_side in (tb, tb_clash):
+        ra, rb = canonicalize_sides(ta, b_side, checkpoint=False)
+        for got_df, want_df in ((ra, canonicalize(ta)), (rb, canonicalize(b_side))):
+            got = got_df.select("conv_id", "agValue", "n_tokens").toPandas()
+            want = want_df.select("conv_id", "agValue", "n_tokens").toPandas()
+            got = got.sort_values("conv_id").reset_index(drop=True)
+            want = want.sort_values("conv_id").reset_index(drop=True)
+            assert sorted(got_df.columns) == sorted(want_df.columns)
+            pd.testing.assert_frame_equal(got, want)
 
 
 def test_agvalue_order_insensitive_to_input_row_order(spark, corpora):

@@ -32,12 +32,46 @@ def featurized(spark, spark_corpora):
     return featurize(attach_pair_text(labeled, ra, rb)).localCheckpoint()
 
 
-@pytest.mark.parametrize("algo", ["rf", "dt"])
-def test_tree_matchers_f1(featurized, algo):
+@pytest.mark.parametrize("algo", ["rf", "dt", "svm", "linreg", "nb"])
+def test_zoo_matchers_f1(featurized, algo):
     splits = stratified_split(featurized)
     model = train_matcher(splits["train"], algorithm=algo)
-    m = evaluate_predictions(score(model, featurized), threshold=0.5)
+    preds = score(model, featurized)
+    m = evaluate_predictions(preds, threshold=0.5)
     assert m["f1"] >= 0.95, (algo, m)
+    # prob_class1 honors the contract every downstream consumer assumes
+    import pyspark.sql.functions as F
+
+    bad = preds.filter(
+        (F.col("prob_class1") < 0) | (F.col("prob_class1") > 1)
+        | F.isnan("prob_class1")
+    ).count()
+    assert bad == 0, algo
+
+
+def test_truncated_attach_features_value_identical(spark, spark_corpora):
+    """attach_pair_text(truncate=256) must yield EXACTLY the same feature
+    vector as the full-text path: levenshtein/jaro-winkler already cap at
+    256/64 chars and len_ratio reads the shipped original lengths. The
+    truncation only cuts shuffle bytes, never values."""
+    ta, tb, matches = spark_corpora
+    ra, rb = canonicalize(ta), canonicalize(tb)
+    golden = referential_filter(matches, ra, rb)
+    labeled = attach_labels(top_k_token_join(ra, rb, k=5), golden)
+    full = featurize(attach_pair_text(labeled, ra, rb)).toPandas()
+    trunc = featurize(attach_pair_text(labeled, ra, rb, truncate=256)).toPandas()
+    key = ["a_id", "b_id"]
+    full = full.sort_values(key).reset_index(drop=True)
+    trunc = trunc.sort_values(key).reset_index(drop=True)
+    assert sorted(full.columns) == sorted(trunc.columns)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(trunc[full.columns], full)
+    # and at least one record is actually longer than the cap, so the
+    # test exercises a real truncation
+    from pyspark.sql import functions as F
+
+    assert ra.filter(F.length("agValue") > 256).count() > 0
 
 
 def test_select_matcher_kfold(featurized):
