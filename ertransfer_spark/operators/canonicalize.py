@@ -88,6 +88,15 @@ def canonicalize_sides(
     tagged = transcripts_a.withColumn("_side", F.lit("a")).unionByName(
         transcripts_b.withColumn("_side", F.lit("b"))
     )
+    # 2x the session shuffle width: the union carries 2x the groups, and a
+    # 1x-width groupBy doubles every reduce task's collect_list hash map —
+    # measured 2.2x slower at 480k/32c (objectHashAggregate falls toward
+    # its sort-based fallback). Repartitioning by EXACTLY the group keys
+    # satisfies the aggregation's required distribution, so the groupBy
+    # adds no second shuffle — one exchange at 2x width for 2x rows.
+    spark = tagged.sparkSession
+    width = 2 * int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    tagged = tagged.repartition(width, id_col, "_side")
     rec = canonicalize(tagged, id_col=id_col, extra_group_cols=["_side"])
     if checkpoint:
         rec = rec.localCheckpoint()

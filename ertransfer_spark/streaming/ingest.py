@@ -287,3 +287,132 @@ def incremental_dedup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# Stateful cross-batch canonicalization (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+def stateful_canonicalize_stream(
+    turns_stream: DataFrame,
+    watermark: str = "10 minutes",
+    gap_seconds: int = 300,
+) -> DataFrame:
+    """Conversations whose turns SPAN micro-batches, canonicalized exactly
+    once: the custom stateful operator the batch/foreachBatch path cannot
+    express (stream_to_catalog canonicalizes each batch independently, so
+    a conversation split across batches yields fragments).
+
+    ``applyInPandasWithState`` keyed by conv_id accumulates each
+    conversation's turns in group state; when no new turn has arrived for
+    ``gap_seconds`` of EVENT time (watermark-driven timeout — the session
+    gap), the conversation is closed: its turns are sorted by the stable
+    turn order (turn_idx, role, text, tool — the same total order as the
+    batch operator's array_sort(struct(...))) and emitted as ONE
+    (conv_id, agValue, n_turns) record whose agValue is byte-identical to
+    batch ``canonicalize`` over the same turns (shared pinned clean-text
+    spec; parity asserted in tests/test_sources_streaming.py).
+
+    Scale: state per in-flight conversation only (closed conversations are
+    removed), shuffled by conv_id — state size tracks concurrent open
+    conversations, never corpus size. Late turns beyond the watermark are
+    dropped by the upstream watermark, the documented contract.
+    """
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("agValue", StringType()),
+            StructField("n_turns", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("turn_idx", ArrayType(IntegerType())),
+            StructField("role", ArrayType(StringType())),
+            StructField("text", ArrayType(StringType())),
+            StructField("tool", ArrayType(StringType())),
+            StructField("max_ts_ms", LongType()),
+        ]
+    )
+
+    def close_or_accumulate(key, pdf_iter, state):
+        import re as _re
+
+        import pandas as pd
+
+        from ertransfer_spark.oracle.pandas_oracle import clean_text
+
+        if state.hasTimedOut:
+            ti, ro, te, to, _ = state.get
+            df = pd.DataFrame(
+                {"turn_idx": list(ti), "role": list(ro), "text": list(te), "tool": list(to)}
+            ).sort_values(["turn_idx", "role", "text", "tool"], kind="mergesort")
+            ag = " ".join(clean_text(t) for t in df["text"])
+            ag = _re.sub(r"\s+", " ", ag).strip()
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [key[0]], "agValue": [ag], "n_turns": [len(df)]}
+            )
+            return
+        ti, ro, te, to = [], [], [], []
+        max_ts = 0
+        if state.exists:
+            s_ti, s_ro, s_te, s_to, s_ts = state.get
+            ti, ro, te, to, max_ts = list(s_ti), list(s_ro), list(s_te), list(s_to), int(s_ts)
+        for rows in pdf_iter:
+            ti += [int(x) for x in rows["turn_idx"]]
+            ro += list(rows["role"])
+            te += list(rows["text"])
+            to += list(rows["tool"])
+            ts_ms = rows["ts"].values.astype("datetime64[ms]").astype("int64")
+            if len(ts_ms):
+                max_ts = max(max_ts, int(ts_ms.max()))
+        state.update((ti, ro, te, to, max_ts))
+        # close the conversation gap_seconds of event time after its last
+        # turn; the timeout must sit beyond the current watermark
+        state.setTimeoutTimestamp(
+            max(max_ts + gap_seconds * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return (
+        turns_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            close_or_accumulate,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def stateful_canonicalize_to_catalog(
+    turns_stream: DataFrame,
+    catalog,
+    table: str = "stream_canonical",
+    checkpoint_dir: str | None = None,
+    watermark: str = "10 minutes",
+    gap_seconds: int = 300,
+    trigger_available_now: bool = True,
+):
+    """Sink for :func:`stateful_canonicalize_stream`: append each batch of
+    closed conversations to the snapshot catalog (O(|closed|) per commit)."""
+    records = stateful_canonicalize_stream(
+        turns_stream, watermark=watermark, gap_seconds=gap_seconds
+    )
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        catalog.append(table, batch_df, meta={"batch_id": batch_id})
+
+    writer = records.writeStream.foreachBatch(commit_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

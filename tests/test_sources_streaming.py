@@ -284,3 +284,68 @@ def test_incremental_dedup_cross_batch_orientation(spark, tmp_path):
     found = _all_dup_pairs(catalog, 2)
     golden = {(a, b) for a, b in zip(matches["a_conv_id"], matches["b_conv_id"])}
     assert len(found & golden) >= len(golden) * 0.7, (len(found & golden), len(golden))
+
+
+def test_stateful_canonicalize_cross_batch(spark, tmp_path):
+    """A conversation whose turns SPAN micro-batches must come out as ONE
+    canonical record, byte-identical to batch canonicalize over the full
+    turn set — the applyInPandasWithState session-gap operator. Watermark
+    mechanics: two far-future sentinel files push the event-time watermark
+    past every real conversation's (last_ts + gap) so the timeouts fire
+    within the availableNow drain."""
+    import pandas as pd
+
+    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.sources.catalog import SnapshotCatalog
+    from ertransfer_spark.streaming.ingest import (
+        read_turn_stream,
+        stateful_canonicalize_to_catalog,
+    )
+    from ertransfer_spark.synth import SynthConfig, generate, to_spark
+
+    ta, _, _ = generate(SynthConfig(n_conversations=10, seed=11))
+    # split every conversation's turns across two files (odd/even turn_idx)
+    part1 = ta[ta["turn_idx"] % 2 == 0].reset_index(drop=True)
+    part2 = ta[ta["turn_idx"] % 2 == 1].reset_index(drop=True)
+    src = tmp_path / "turns"
+    src.mkdir()
+    _write_batch(src, "b1.json", part1)
+    _write_batch(src, "b2.json", part2)
+    t_hi = ta["ts"].max()
+    for i, name in enumerate(["s1.json", "s2.json"]):
+        sent = pd.DataFrame(
+            [
+                {
+                    "conv_id": f"zz_sentinel_{i}",
+                    "turn_idx": 0,
+                    "role": "user",
+                    "text": "flush",
+                    "tool": "",
+                    "ts": t_hi + pd.Timedelta(hours=1 + i),
+                }
+            ]
+        )
+        _write_batch(src, name, sent)
+
+    catalog = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    q = stateful_canonicalize_to_catalog(
+        read_turn_stream(spark, str(src), max_files_per_trigger=1),
+        catalog,
+        checkpoint_dir=str(tmp_path / "ck"),
+        watermark="1 minutes",
+        gap_seconds=60,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["conv_id"]: (r["agValue"], r["n_turns"])
+        for r in catalog.read("stream_canonical").collect()
+        if not r["conv_id"].startswith("zz_sentinel")
+    }
+    want = {
+        r["conv_id"]: (r["agValue"], r["n_turns"])
+        for r in canonicalize(to_spark(spark, ta)).select(
+            "conv_id", "agValue", "n_turns"
+        ).collect()
+    }
+    assert got == want  # every conversation closed exactly once, value-identical
