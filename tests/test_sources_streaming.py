@@ -349,3 +349,72 @@ def test_stateful_canonicalize_cross_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want  # every conversation closed exactly once, value-identical
+
+
+def test_stateful_canonicalize_survives_restart(spark, tmp_path):
+    """Group state must persist across QUERY RESTARTS: run 1 ingests half
+    of every conversation and stops (availableNow drain); run 2, started
+    from the same checkpoint dir, ingests the rest plus the watermark
+    sentinels. Conversations spanning the two runs must still close
+    exactly once with the full turn set — the state-store recovery
+    contract a production stream relies on."""
+    import pandas as pd
+
+    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.sources.catalog import SnapshotCatalog
+    from ertransfer_spark.streaming.ingest import (
+        read_turn_stream,
+        stateful_canonicalize_to_catalog,
+    )
+    from ertransfer_spark.synth import SynthConfig, generate, to_spark
+
+    ta, _, _ = generate(SynthConfig(n_conversations=8, seed=13))
+    src = tmp_path / "turns"
+    src.mkdir()
+    catalog = SnapshotCatalog(spark, str(tmp_path / "cat"))
+
+    def drain():
+        q = stateful_canonicalize_to_catalog(
+            read_turn_stream(spark, str(src), max_files_per_trigger=1),
+            catalog,
+            checkpoint_dir=str(tmp_path / "ck"),
+            watermark="1 minutes",
+            gap_seconds=60,
+        )
+        q.awaitTermination(180)
+
+    _write_batch(src, "b1.json", ta[ta["turn_idx"] % 2 == 0].reset_index(drop=True))
+    drain()  # run 1: half of every conversation, then the query STOPS
+    _write_batch(src, "b2.json", ta[ta["turn_idx"] % 2 == 1].reset_index(drop=True))
+    t_hi = ta["ts"].max()
+    for i, name in enumerate(["s1.json", "s2.json"]):
+        _write_batch(
+            src,
+            name,
+            pd.DataFrame(
+                [
+                    {
+                        "conv_id": f"zz_sentinel_{i}",
+                        "turn_idx": 0,
+                        "role": "user",
+                        "text": "flush",
+                        "tool": "",
+                        "ts": t_hi + pd.Timedelta(hours=1 + i),
+                    }
+                ]
+            ),
+        )
+    drain()  # run 2: recovered state + remaining turns + sentinels
+
+    got = {
+        r["conv_id"]: (r["agValue"], r["n_turns"])
+        for r in catalog.read("stream_canonical").collect()
+        if not r["conv_id"].startswith("zz_sentinel")
+    }
+    want = {
+        r["conv_id"]: (r["agValue"], r["n_turns"])
+        for r in canonicalize(to_spark(spark, ta)).select(
+            "conv_id", "agValue", "n_turns"
+        ).collect()
+    }
+    assert got == want
