@@ -369,6 +369,15 @@ def test_stateful_canonicalize_survives_restart(spark, tmp_path):
     from ertransfer_spark.synth import SynthConfig, generate, to_spark
 
     ta, _, _ = generate(SynthConfig(n_conversations=8, seed=13))
+    # compress event time so NO conversation's gap elapses between the two
+    # runs: closing a quiet conversation at the end of run 1 would be
+    # CORRECT session-gap semantics (verified: the uncompressed corpus
+    # spans hours and early conversations rightly closed half-full) — but
+    # this test is about state surviving the restart, so every turn must
+    # sit within one gap of the others in event time
+    ta["ts"] = pd.Timestamp("2026-01-01 12:00:00") + pd.to_timedelta(
+        ta["turn_idx"], unit="s"
+    )
     src = tmp_path / "turns"
     src.mkdir()
     catalog = SnapshotCatalog(spark, str(tmp_path / "cat"))
