@@ -46,9 +46,22 @@ def canonicalize(
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+    # Turns whose text cleans to '' (whitespace-only, literal 'nan') are
+    # dropped BEFORE the join: clean_text already collapses internal
+    # whitespace per turn, so joining only non-empty cleaned texts with ' '
+    # yields a string with no repeated spaces — the same value the pandas
+    # oracle's join-then-collapse produces and the streaming stateful path
+    # emits (byte-parity across all three, tested with an empty-cleaning
+    # turn in tests/test_canonicalize.py).
     rec = agg.withColumn(
         "agValue",
-        F.array_join(F.transform(F.col("turns"), lambda t: clean_text(t["text"])), " "),
+        F.array_join(
+            F.filter(
+                F.transform(F.col("turns"), lambda t: clean_text(t["text"])),
+                lambda s: s != F.lit(""),
+            ),
+            " ",
+        ),
     )
     from ertransfer_spark.functions.text import SPARK_BIGRAMS_SQL
 
@@ -95,7 +108,15 @@ def canonicalize_sides(
     # satisfies the aggregation's required distribution, so the groupBy
     # adds no second shuffle — one exchange at 2x width for 2x rows.
     spark = tagged.sparkSession
-    width = 2 * int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Guard: on a cluster whose input parallelism exceeds 2x the configured
+    # shuffle width (AQE-coalesced sessions, very wide scans) never shrink
+    # below the input's own partition count — getNumPartitions is plan-only,
+    # no job. At the measured regimes (32-256 shuffle partitions, local
+    # parquet scans) the 2x term dominates and behavior is unchanged.
+    width = max(
+        2 * int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        tagged.rdd.getNumPartitions(),
+    )
     tagged = tagged.repartition(width, id_col, "_side")
     rec = canonicalize(tagged, id_col=id_col, extra_group_cols=["_side"])
     if checkpoint:
@@ -124,9 +145,17 @@ def canonicalize_table(
     from ertransfer_spark.functions.text import SPARK_BIGRAMS_SQL
 
     attrs = attr_cols or [c for c in records.columns if c != id_col]
-    ag = F.concat_ws(" ", *[clean_text(F.col(c).cast("string")) for c in attrs])
+    # same empty-value filter as canonicalize(): attributes cleaning to ''
+    # (NaN cells → 'nan' → '') don't leave double spaces in agValue
+    ag = F.array_join(
+        F.filter(
+            F.array(*[clean_text(F.col(c).cast("string")) for c in attrs]),
+            lambda s: s != F.lit(""),
+        ),
+        " ",
+    )
     rec = records.select(
-        F.col(id_col).alias("conv_id"), F.trim(ag).alias("agValue")
+        F.col(id_col).alias("conv_id"), ag.alias("agValue")
     )
     rec = (
         rec.withColumn("tokens", tokens(F.col("agValue")))

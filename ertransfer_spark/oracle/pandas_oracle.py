@@ -37,8 +37,12 @@ def canonicalize(transcripts: pd.DataFrame) -> pd.DataFrame:
     """transcripts → (conv_id, agValue, token_set) — ordered turn agg."""
     rows = []
     for conv_id, g in transcripts.sort_values(["conv_id", "turn_idx"]).groupby("conv_id", sort=True):
-        ag = " ".join(clean_text(t) for t in g["text"])
-        ag = re.sub(r"\s+", " ", ag).strip()
+        # join only non-empty cleaned turns — clean_text collapses internal
+        # whitespace per turn, so no post-join collapse is needed (and a
+        # Python \s collapse over the joined string would diverge from the
+        # Spark side on non-ASCII whitespace: Python \s is Unicode-aware,
+        # Java's is not)
+        ag = " ".join(c for c in (clean_text(t) for t in g["text"]) if c)
         rows.append({"conv_id": conv_id, "agValue": ag, "token_set": frozenset(tokenize(ag))})
     return pd.DataFrame(rows)
 

@@ -73,7 +73,8 @@ class SnapshotCatalog:
         return bool(self.snapshots(table))
 
     def commit(self, table: str, df: DataFrame, meta: dict | None = None,
-               mode: str = "overwrite", partition_by: list[str] | None = None) -> Path:
+               mode: str = "overwrite", partition_by: list[str] | None = None,
+               n_buckets: int | None = None) -> Path:
         """Write df as the next snapshot of ``table``; manifest written last
         (atomic visibility). ``mode='append'`` marks the snapshot as a
         delta: :meth:`read` unions every append snapshot since the last
@@ -84,7 +85,10 @@ class SnapshotCatalog:
         columns (``snap-n/<col>=<v>/part-*.parquet``) — the Iceberg
         bucket-partitioning analog that lets :meth:`read_buckets` prune
         point-lookup reads to the named buckets instead of scanning the
-        whole table."""
+        whole table. ``n_buckets`` records the bucket-hash modulus in the
+        manifest so :meth:`read_buckets` can detect a modulus mismatch
+        (a later run bucketing with a different B would otherwise prune
+        to the WRONG directories and silently drop rows)."""
         d = self._table_dir(table)
         d.mkdir(parents=True, exist_ok=True)
         n = len([p for p in d.iterdir() if p.name.startswith("snap-")])
@@ -105,6 +109,7 @@ class SnapshotCatalog:
             "schema": df.schema.json(),
             "mode": mode,
             "partition_by": partition_by or [],
+            "n_buckets": n_buckets,
             **(meta or {}),
         }
         # manifest-last AND manifest-atomic: a kill before the rename leaves
@@ -124,10 +129,12 @@ class SnapshotCatalog:
         return snap
 
     def append(self, table: str, df: DataFrame, meta: dict | None = None,
-               partition_by: list[str] | None = None) -> Path:
+               partition_by: list[str] | None = None,
+               n_buckets: int | None = None) -> Path:
         """Append-only commit: writes ONLY ``df``'s rows as a new delta
         snapshot — per-commit cost is O(|df|), never O(table)."""
-        return self.commit(table, df, meta=meta, mode="append", partition_by=partition_by)
+        return self.commit(table, df, meta=meta, mode="append",
+                           partition_by=partition_by, n_buckets=n_buckets)
 
     def _active_snaps(self, table: str) -> list[Path]:
         """Snapshots visible to read(): the last overwrite plus every
@@ -142,20 +149,40 @@ class SnapshotCatalog:
                 active.append(p)
         return active
 
+    def _manifest_of(self, snap: Path) -> dict:
+        with open(snap / "_MANIFEST.json") as f:
+            return json.load(f)
+
+    def _read_snap_data(self, snap: Path) -> DataFrame:
+        """Read one snapshot exposing ONLY its data schema: hive-partition
+        columns (e.g. ``_bucket``) are physical layout, not table schema —
+        dropping them keeps reads stable across a re-partitioning of the
+        table and lets partitioned and legacy unpartitioned snapshots union
+        cleanly."""
+        df = self.spark.read.parquet(str(snap))
+        for c in self._manifest_of(snap).get("partition_by") or []:
+            if c in df.columns:
+                df = df.drop(c)
+        return df
+
     def read(self, table: str, snapshot: str | None = None) -> DataFrame:
         if snapshot is not None:
-            return self.spark.read.parquet(str(self._table_dir(table) / snapshot))
+            return self._read_snap_data(self._table_dir(table) / snapshot)
         snaps = self._active_snaps(table)
         if not snaps:
             raise FileNotFoundError(f"no committed snapshot for table {table!r}")
-        if len(snaps) == 1 or not self._is_partitioned(snaps):
+        if not self._is_partitioned(snaps):
             return self.spark.read.parquet(*[str(p) for p in snaps])
         # Partitioned snapshots are each their own partition-discovery root;
         # Spark refuses multiple roots in one load, so union per-snapshot
         # reads (driver cost O(snapshots); each read stays pruned/lazy).
-        out = self.spark.read.parquet(str(snaps[0]))
-        for p in snaps[1:]:
-            out = out.unionByName(self.spark.read.parquet(str(p)))
+        # allowMissingColumns covers an active set mixing partitioned and
+        # legacy snapshots whose data schemas differ by exactly the dropped
+        # partition columns.
+        dfs = [self._read_snap_data(p) for p in snaps]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     def _is_partitioned(self, snaps: list[Path]) -> bool:
@@ -180,24 +207,69 @@ class SnapshotCatalog:
         return dirs
 
     def read_buckets(self, table: str, buckets: list[int],
-                     bucket_col: str = "_bucket") -> DataFrame:
+                     bucket_col: str = "_bucket",
+                     n_buckets: int | None = None) -> DataFrame:
         """Partition-pruned point read: scan ONLY the files of the named
         buckets across the active snapshots. This is the Iceberg
         `bucket(B, id)` partition-pruning analog for the plain-parquet
         catalog: per-lookup I/O scales with the buckets touched, never with
         the table. The bucket column itself is a directory name, so it is
-        NOT part of the returned schema. Raises FileNotFoundError when the
-        table has no committed snapshot; returns an empty scan (caller
-        handles) only when the table exists but none of the buckets do."""
-        if not self._active_snaps(table):
+        NOT part of the returned schema.
+
+        Correctness over pruning, per snapshot:
+        - bucketed by ``bucket_col`` with a MATCHING recorded modulus (or
+          the caller passed no ``n_buckets``): prune to the named bucket
+          dirs;
+        - bucketed but with a DIFFERENT recorded modulus: raise ValueError —
+          pruning with the wrong modulus would silently drop rows;
+        - bucketed with NO recorded modulus (legacy manifest), or not
+          bucketed at all (corpus committed by pre-bucketing code): fall
+          back to FULL-SCANNING that snapshot — a superset of the requested
+          buckets, safe for the lookup joins this feeds, never a silent
+          skip.
+
+        Raises FileNotFoundError when the table has no committed snapshot;
+        returns an empty scan (caller handles) when the table exists but
+        none of the buckets do."""
+        snaps = self._active_snaps(table)
+        if not snaps:
             raise FileNotFoundError(f"no committed snapshot for table {table!r}")
-        dirs = self.bucket_dirs(table, buckets, bucket_col)
-        if not dirs:
+        pruned_dirs: list[Path] = []
+        full_scans: list[DataFrame] = []
+        for snap in snaps:
+            m = self._manifest_of(snap)
+            if m.get("partition_by") == [bucket_col]:
+                recorded = m.get("n_buckets")
+                if recorded is not None and n_buckets is not None and int(recorded) != int(n_buckets):
+                    raise ValueError(
+                        f"bucket-count mismatch for table {table!r} snapshot "
+                        f"{snap.name}: committed with n_buckets={recorded}, "
+                        f"read requested n_buckets={n_buckets} — pruning would "
+                        f"drop rows; re-bucket the snapshot or read() fully"
+                    )
+                if recorded is None and n_buckets is not None:
+                    # legacy bucketed snapshot, modulus unknown: can't prove
+                    # the dirs line up with the caller's hash — full-scan it
+                    full_scans.append(self._read_snap_data(snap))
+                    continue
+                pruned_dirs += [
+                    d for b in buckets
+                    if (d := snap / f"{bucket_col}={int(b)}").exists()
+                ]
+            else:
+                full_scans.append(self._read_snap_data(snap))
+        parts: list[DataFrame] = []
+        if pruned_dirs:
+            parts.append(self.spark.read.parquet(*[str(d) for d in pruned_dirs]))
+        parts += full_scans
+        if not parts:
             # table exists but no requested bucket has data: empty frame
             # with the table's data schema (partition col excluded)
-            full = self.read(table)
-            return full.drop(bucket_col).limit(0)
-        return self.spark.read.parquet(*[str(d) for d in dirs])
+            return self.read(table).limit(0)
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     def manifest(self, table: str) -> dict:
         snaps = self.snapshots(table)

@@ -232,9 +232,9 @@ def incremental_dedup_stream(
             ).distinct().collect()
         ]
         try:
-            old = catalog.read_buckets(corpus_table, hit_buckets).select(
-                "conv_id", "shingle_set"
-            )
+            old = catalog.read_buckets(
+                corpus_table, hit_buckets, n_buckets=n_buckets
+            ).select("conv_id", "shingle_set")
         except FileNotFoundError:
             old = new.select("conv_id", "shingle_set").limit(0)
         lookup = (
@@ -260,6 +260,7 @@ def incremental_dedup_stream(
             new.withColumn("_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))),
             meta={"batch_id": batch_id},
             partition_by=["_bucket"],
+            n_buckets=n_buckets,
         )
         catalog.append(
             bands_table,
@@ -339,8 +340,6 @@ def stateful_canonicalize_stream(
     )
 
     def close_or_accumulate(key, pdf_iter, state):
-        import re as _re
-
         import pandas as pd
 
         from ertransfer_spark.oracle.pandas_oracle import clean_text
@@ -350,8 +349,11 @@ def stateful_canonicalize_stream(
             df = pd.DataFrame(
                 {"turn_idx": list(ti), "role": list(ro), "text": list(te), "tool": list(to)}
             ).sort_values(["turn_idx", "role", "text", "tool"], kind="mergesort")
-            ag = " ".join(clean_text(t) for t in df["text"])
-            ag = _re.sub(r"\s+", " ", ag).strip()
+            # join only non-empty cleaned turns — byte-identical to batch
+            # canonicalize's filter-then-array_join (clean_text collapses
+            # internal whitespace per turn; no post-join regex needed, which
+            # also avoids the Python-\s-vs-Java-\s Unicode divergence)
+            ag = " ".join(c for c in (clean_text(t) for t in df["text"]) if c)
             state.remove()
             yield pd.DataFrame(
                 {"conv_id": [key[0]], "agValue": [ag], "n_turns": [len(df)]}
@@ -362,14 +364,27 @@ def stateful_canonicalize_stream(
         if state.exists:
             s_ti, s_ro, s_te, s_to, s_ts = state.get
             ti, ro, te, to, max_ts = list(s_ti), list(s_ro), list(s_te), list(s_to), int(s_ts)
+        # at-least-once dedup: keep the FIRST arrival of each turn_idx (the
+        # same contract as canonicalize_stream's
+        # dropDuplicates(['conv_id','turn_idx'])) so a retransmitted turn
+        # never double-counts n_turns or duplicates text in agValue
+        seen = set(int(x) for x in ti)
         for rows in pdf_iter:
-            ti += [int(x) for x in rows["turn_idx"]]
-            ro += list(rows["role"])
-            te += list(rows["text"])
-            to += list(rows["tool"])
-            ts_ms = rows["ts"].values.astype("datetime64[ms]").astype("int64")
-            if len(ts_ms):
-                max_ts = max(max_ts, int(ts_ms.max()))
+            # ts_ms is computed Spark-side (unix_millis → UTC epoch millis);
+            # pandas datetimes here would be tz-naive SESSION-LOCAL values,
+            # which under a non-UTC session timezone shift the gap timeout
+            # by the UTC offset vs getCurrentWatermarkMs (UTC epoch)
+            for t_i, t_r, t_t, t_o, t_ms in zip(
+                rows["turn_idx"], rows["role"], rows["text"], rows["tool"], rows["ts_ms"]
+            ):
+                max_ts = max(max_ts, int(t_ms))
+                if int(t_i) in seen:
+                    continue
+                seen.add(int(t_i))
+                ti.append(int(t_i))
+                ro.append(t_r)
+                te.append(t_t)
+                to.append(t_o)
         state.update((ti, ro, te, to, max_ts))
         # close the conversation gap_seconds of event time after its last
         # turn; the timeout must sit beyond the current watermark
@@ -379,6 +394,7 @@ def stateful_canonicalize_stream(
 
     return (
         turns_stream.withWatermark("ts", watermark)
+        .withColumn("ts_ms", F.unix_millis("ts"))
         .groupBy("conv_id")
         .applyInPandasWithState(
             close_or_accumulate,

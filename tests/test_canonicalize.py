@@ -53,6 +53,34 @@ def test_canonicalize_sides_matches_per_side(spark, spark_corpora):
             pd.testing.assert_frame_equal(got, want)
 
 
+def test_empty_cleaning_turn_parity(spark):
+    """A turn whose text cleans to '' (literal 'nan', whitespace-only, tabs)
+    must leave NO double space in agValue, and batch canonicalize must stay
+    byte-identical to the pandas oracle on such input (the whitespace-parity
+    contract shared with the streaming stateful path)."""
+    rows = [
+        ("c1", 0, "user", "hello there", "", None),
+        ("c1", 1, "agent", "nan", "", None),          # cleans to ''
+        ("c1", 2, "user", "  \t ", "", None),          # cleans to ''
+        ("c1", 3, "agent", "bye  now", "", None),      # internal collapse
+        ("c2", 0, "user", "nan nan", "", None),        # whole conv cleans empty
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["ts"] = pd.Timestamp("2026-01-01")
+    from ertransfer_spark.synth import to_spark
+
+    got = {
+        r["conv_id"]: r["agValue"]
+        for r in canonicalize(to_spark(spark, pdf)).select("conv_id", "agValue").collect()
+    }
+    assert got["c1"] == "hello there bye now"
+    assert got["c2"] == ""
+    want = dict(zip(*[oracle.canonicalize(pdf)[c] for c in ("conv_id", "agValue")]))
+    assert got == want
+
+
 def test_agvalue_order_insensitive_to_input_row_order(spark, corpora):
     """Permutation invariance: shuffled input rows → identical agValue."""
     from ertransfer_spark.synth import to_spark

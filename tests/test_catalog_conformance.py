@@ -141,3 +141,60 @@ def test_manifest_metadata_roundtrip(spark, catalog):
     snaps = catalog.snapshots("t")
     with open(snaps[-1] / "_MANIFEST.json") as f:
         assert json.load(f)["snapshot"] == "snap-00000"
+
+
+def _bdf(spark, tag: str, n: int = 8, n_buckets: int = 4):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .selectExpr("cast(id as string) as conv_id", f"'{tag}' as tag")
+        .withColumn("_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)))
+    )
+
+
+def test_read_mixes_partitioned_and_legacy_snapshots(spark, catalog):
+    """The legacy-corpus upgrade scenario: an unpartitioned base snapshot
+    plus bucketed append deltas must read as ONE table with the DATA schema
+    (no _bucket column leaking to consumers)."""
+    catalog.commit("t", _df(spark, "legacy"))
+    catalog.append("t", _bdf(spark, "delta"), partition_by=["_bucket"], n_buckets=4)
+    out = catalog.read("t")
+    assert "_bucket" not in out.columns
+    assert _read_tags(catalog, "t") == ["delta", "legacy"]
+
+
+def test_read_buckets_full_scans_unbucketed_snapshots(spark, catalog):
+    """A point read over a table whose active set contains an UNBUCKETED
+    snapshot must still see that snapshot's rows (full-scan fallback) —
+    silently skipping it would drop cross-batch duplicate candidates."""
+    catalog.commit("t", _df(spark, "legacy").selectExpr("cast(id as string) as conv_id", "tag"))
+    catalog.append("t", _bdf(spark, "delta"), partition_by=["_bucket"], n_buckets=4)
+    got = catalog.read_buckets("t", [0], n_buckets=4)
+    assert "_bucket" not in got.columns
+    tags = {r["tag"] for r in got.collect()}
+    assert "legacy" in tags  # every legacy row, regardless of bucket
+
+
+def test_read_buckets_raises_on_modulus_mismatch(spark, catalog):
+    """Pruning with the wrong bucket modulus would silently drop rows —
+    the mismatch must be an error, never a wrong answer."""
+    catalog.commit("t", _bdf(spark, "v1", n_buckets=4), partition_by=["_bucket"], n_buckets=4)
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        catalog.read_buckets("t", [0], n_buckets=16)
+    # matching modulus (and modulus-agnostic reads) still prune fine
+    assert catalog.read_buckets("t", [0, 1, 2, 3], n_buckets=4).count() == 8
+    assert catalog.read_buckets("t", [0, 1, 2, 3]).count() == 8
+
+
+def test_read_buckets_full_scans_unknown_modulus(spark, catalog):
+    """A bucketed snapshot whose manifest predates n_buckets recording
+    (simulated by scrubbing the field) can't be proven prunable — the
+    caller's point read must fall back to scanning it, not guess."""
+    snap = catalog.commit("t", _bdf(spark, "v1", n_buckets=4), partition_by=["_bucket"], n_buckets=4)
+    mpath = snap / "_MANIFEST.json"
+    m = json.load(open(mpath))
+    m.pop("n_buckets")
+    json.dump(m, open(mpath, "w"))
+    got = catalog.read_buckets("t", [0], n_buckets=16)
+    assert got.count() == 8  # full table — superset, never a silent skip

@@ -427,3 +427,137 @@ def test_stateful_canonicalize_survives_restart(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stateful_canonicalize_non_utc_session_timezone(spark, tmp_path):
+    """The session-gap timeout must be computed in UTC epoch millis no
+    matter the session timezone: under Asia/Tokyo (+9h) a pandas-side
+    tz-naive max(ts) would sit 9h AHEAD of getCurrentWatermarkMs, pushing
+    every close 9h late — the sentinel watermark (1h ahead) would then
+    close nothing and this test would see zero records."""
+    import pandas as pd
+
+    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.sources.catalog import SnapshotCatalog
+    from ertransfer_spark.streaming.ingest import (
+        read_turn_stream,
+        stateful_canonicalize_to_catalog,
+    )
+    from ertransfer_spark.synth import SynthConfig, generate, to_spark
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        ta, _, _ = generate(SynthConfig(n_conversations=6, seed=17))
+        ta["ts"] = pd.Timestamp("2026-01-01 12:00:00") + pd.to_timedelta(
+            ta["turn_idx"], unit="s"
+        )
+        src = tmp_path / "turns"
+        src.mkdir()
+        _write_batch(src, "b1.json", ta)
+        t_hi = ta["ts"].max()
+        for i, name in enumerate(["s1.json", "s2.json"]):
+            _write_batch(
+                src,
+                name,
+                pd.DataFrame(
+                    [
+                        {
+                            "conv_id": f"zz_sentinel_{i}",
+                            "turn_idx": 0,
+                            "role": "user",
+                            "text": "flush",
+                            "tool": "",
+                            "ts": t_hi + pd.Timedelta(hours=1 + i),
+                        }
+                    ]
+                ),
+            )
+        catalog = SnapshotCatalog(spark, str(tmp_path / "cat"))
+        q = stateful_canonicalize_to_catalog(
+            read_turn_stream(spark, str(src), max_files_per_trigger=1),
+            catalog,
+            checkpoint_dir=str(tmp_path / "ck"),
+            watermark="1 minutes",
+            gap_seconds=60,
+        )
+        q.awaitTermination(180)
+        got = {
+            r["conv_id"]: (r["agValue"], r["n_turns"])
+            for r in catalog.read("stream_canonical").collect()
+            if not r["conv_id"].startswith("zz_sentinel")
+        }
+        want = {
+            r["conv_id"]: (r["agValue"], r["n_turns"])
+            for r in canonicalize(to_spark(spark, ta)).select(
+                "conv_id", "agValue", "n_turns"
+            ).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stateful_canonicalize_dedups_retransmitted_turns(spark, tmp_path):
+    """At-least-once delivery: a turn retransmitted in a later micro-batch
+    must not double-count n_turns or duplicate text in agValue — the
+    stateful path keeps the first arrival per (conv_id, turn_idx), the same
+    contract as canonicalize_stream's dropDuplicates."""
+    import pandas as pd
+
+    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.sources.catalog import SnapshotCatalog
+    from ertransfer_spark.streaming.ingest import (
+        read_turn_stream,
+        stateful_canonicalize_to_catalog,
+    )
+    from ertransfer_spark.synth import SynthConfig, generate, to_spark
+
+    ta, _, _ = generate(SynthConfig(n_conversations=6, seed=19))
+    ta["ts"] = pd.Timestamp("2026-01-01 12:00:00") + pd.to_timedelta(
+        ta["turn_idx"], unit="s"
+    )
+    src = tmp_path / "turns"
+    src.mkdir()
+    _write_batch(src, "b1.json", ta)
+    # batch 2 retransmits every even turn (same conv_id/turn_idx/content)
+    _write_batch(src, "b2.json", ta[ta["turn_idx"] % 2 == 0].reset_index(drop=True))
+    t_hi = ta["ts"].max()
+    for i, name in enumerate(["s1.json", "s2.json"]):
+        _write_batch(
+            src,
+            name,
+            pd.DataFrame(
+                [
+                    {
+                        "conv_id": f"zz_sentinel_{i}",
+                        "turn_idx": 0,
+                        "role": "user",
+                        "text": "flush",
+                        "tool": "",
+                        "ts": t_hi + pd.Timedelta(hours=1 + i),
+                    }
+                ]
+            ),
+        )
+    catalog = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    q = stateful_canonicalize_to_catalog(
+        read_turn_stream(spark, str(src), max_files_per_trigger=1),
+        catalog,
+        checkpoint_dir=str(tmp_path / "ck"),
+        watermark="1 minutes",
+        gap_seconds=60,
+    )
+    q.awaitTermination(180)
+    got = {
+        r["conv_id"]: (r["agValue"], r["n_turns"])
+        for r in catalog.read("stream_canonical").collect()
+        if not r["conv_id"].startswith("zz_sentinel")
+    }
+    want = {
+        r["conv_id"]: (r["agValue"], r["n_turns"])
+        for r in canonicalize(to_spark(spark, ta)).select(
+            "conv_id", "agValue", "n_turns"
+        ).collect()
+    }
+    assert got == want
