@@ -71,6 +71,68 @@ def attach_pair_text(
     return pairs.join(ra, "a_id").join(rb, "b_id")
 
 
+def attr_features(
+    pairs: DataFrame,
+    records_a: DataFrame,
+    records_b: DataFrame,
+    attrs: list[str],
+    id_col: str = "id",
+) -> tuple[DataFrame, list[str]]:
+    """Magellan-style PER-ATTRIBUTE similarity features — the reference's
+    auto-feature generation operates attribute-by-attribute
+    (methods/magellan/entrypoint.py:81-89, em.get_features_for_matching),
+    not on a concatenated blob, and that is load-bearing on fragmented
+    records: in d1_fodors_zagats two street-only records with IDENTICAL
+    text are never a match, while a (name, phone) pair with differing
+    punctuation is — only per-attribute presence + similarity separates
+    the two, so a blob-similarity matcher caps out near F1 0.6 there.
+
+    For each attribute c, emits three native-expr feature columns:
+    ``{c}_present`` (both sides non-empty after normalization),
+    ``{c}_lev`` (Levenshtein similarity, 0 when either side is empty),
+    ``{c}_jac`` (word-token Jaccard, 0 when either side is empty).
+    Missing-data semantics are explicit flags, not NaN: every matcher in
+    the zoo (not just imputing pipelines) can condition on presence.
+
+    ``records_*``'s ``id_col`` values must equal the pairs' a_id/b_id
+    (namespace-prefix upstream if the two tables share an id space).
+    Returns (pairs + feature columns, feature names) — pass the names to
+    ``train_matcher(feature_cols=FEATURES + names)``. Plan shape: two
+    hash equi-joins shipping only the normalized attr strings (Catalyst
+    broadcasts small record sides); all features are JVM column exprs.
+    """
+    from ertransfer_spark.functions.similarity import jaccard, levenshtein_sim
+    from ertransfer_spark.functions.text import distinct_tokens, normalize
+
+    sa = records_a.select(
+        F.col(id_col).alias("a_id"),
+        *[normalize(F.col(c).cast("string")).alias(f"_a_{c}") for c in attrs],
+    )
+    sb = records_b.select(
+        F.col(id_col).alias("b_id"),
+        *[normalize(F.col(c).cast("string")).alias(f"_b_{c}") for c in attrs],
+    )
+    out = pairs.join(sa, "a_id").join(sb, "b_id")
+    names: list[str] = []
+    for c in attrs:
+        a_, b_ = F.col(f"_a_{c}"), F.col(f"_b_{c}")
+        both = (F.length(a_) > 0) & (F.length(b_) > 0)
+        out = (
+            out.withColumn(f"{c}_present", both.cast("double"))
+            .withColumn(
+                f"{c}_lev", F.when(both, levenshtein_sim(a_, b_)).otherwise(F.lit(0.0))
+            )
+            .withColumn(
+                f"{c}_jac",
+                F.when(both, jaccard(distinct_tokens(a_), distinct_tokens(b_))).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+        )
+        names += [f"{c}_present", f"{c}_lev", f"{c}_jac"]
+    return out.drop(*[f"_a_{c}" for c in attrs], *[f"_b_{c}" for c in attrs]), names
+
+
 def featurize(pairs_with_text: DataFrame) -> DataFrame:
     lens = None
     if {"a_len", "b_len"} <= set(pairs_with_text.columns):
@@ -91,6 +153,7 @@ def train_matcher(
     seed: int = 42,
     impute: bool = False,
     standardize: bool = False,
+    feature_cols: list[str] | None = None,
 ):
     """Fit one of the matcher zoo on the feature columns. Returns the
     fitted PipelineModel.
@@ -107,6 +170,10 @@ def train_matcher(
     methods/magellan/entrypoint.py:100-113). Both fit on the TRAIN split
     only and are baked into the returned PipelineModel, so scoring any
     other split reuses the train statistics exactly like the reference.
+    ``feature_cols``: the feature set to assemble (default the agValue
+    blob features). Pass ``FEATURES + attr_names`` from
+    :func:`attr_features` to train on per-attribute similarities as the
+    reference's Magellan auto-features do.
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import (
@@ -118,10 +185,10 @@ def train_matcher(
     from pyspark.ml.feature import Imputer, StandardScaler, VectorAssembler
 
     stages = []
-    feat_cols = FEATURES
+    feat_cols = list(feature_cols) if feature_cols is not None else FEATURES
     if impute:
-        imputed = [f"{c}_imp" for c in FEATURES]
-        stages.append(Imputer(strategy="mean", inputCols=FEATURES, outputCols=imputed))
+        imputed = [f"{c}_imp" for c in feat_cols]
+        stages.append(Imputer(strategy="mean", inputCols=feat_cols, outputCols=imputed))
         feat_cols = imputed
     stages.append(
         VectorAssembler(inputCols=feat_cols, outputCol="_raw_features", handleInvalid="keep")

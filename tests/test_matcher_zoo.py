@@ -94,3 +94,36 @@ def test_select_matcher_deterministic_folds(featurized):
     _, s1 = select_matcher(splits["train"], algorithms=("logreg",), n_folds=3)
     _, s2 = select_matcher(splits["train"], algorithms=("logreg",), n_folds=3)
     assert s1 == s2
+
+
+def test_attr_features_presence_and_similarity(spark):
+    """Per-attribute features: presence flags are explicit (not NaN), sims
+    are 0 when either side is empty, and identical single-field records
+    are separable from true multi-field matches — the d1_fodors_zagats
+    failure mode a blob-feature matcher cannot express."""
+    from ertransfer_spark.operators.matcher import attr_features
+
+    a = spark.createDataFrame(
+        [("a1", "granita", "310 456 0488"), ("a2", "", "200 e fremont st")],
+        "id string, name string, phone string",
+    )
+    b = spark.createDataFrame(
+        [("b1", "granita cafe", "310-456-0488"), ("b2", "", "200 e fremont st")],
+        "id string, name string, phone string",
+    )
+    pairs = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2"), ("a1", "b2")], "a_id string, b_id string"
+    )
+    out, names = attr_features(pairs, a, b, ["name", "phone"])
+    assert names == [
+        "name_present", "name_lev", "name_jac", "phone_present", "phone_lev", "phone_jac"
+    ]
+    rows = {(r["a_id"], r["b_id"]): r for r in out.collect()}
+    m = rows[("a1", "b1")]  # true multi-field match: both present, high sims
+    assert m["name_present"] == 1.0 and m["phone_present"] == 1.0
+    assert m["phone_lev"] == 1.0 and m["name_jac"] == 0.5  # {granita}∩{granita,cafe}
+    t = rows[("a2", "b2")]  # identical text but name missing on both sides
+    assert t["name_present"] == 0.0 and t["name_lev"] == 0.0 and t["name_jac"] == 0.0
+    assert t["phone_present"] == 1.0 and t["phone_lev"] == 1.0
+    x = rows[("a1", "b2")]  # name empty on the b side: not co-present
+    assert x["name_present"] == 0.0
