@@ -53,18 +53,20 @@ def _load(spark, name):
 
 def _canon(df, side, clean):
     """canonicalize_table + a_/b_ id namespacing (tableA and tableB share
-    the same 0-based id space) + the clean=True stopword/stem path."""
-    from ertransfer_spark.functions.text import (
-        remove_stopwords,
-        stem_tokens,
-    )
+    the same 0-based id space) + the clean=True stopword/stem path using
+    the vendored Porter2 stemmer — the reference's actual
+    SnowballStemmer('english') semantics (splitter.py:16-19), which
+    diverges from the fast pinned stripper on 7.9% of d1 token
+    occurrences (analysis in SURVEY §8)."""
+    from ertransfer_spark.functions.porter2 import snowball_stem_tokens
+    from ertransfer_spark.functions.text import remove_stopwords
     from ertransfer_spark.operators.canonicalize import canonicalize_table
 
     rec = canonicalize_table(df, id_col="id").withColumn(
         "conv_id", F.concat(F.lit(f"{side}_"), F.col("conv_id"))
     )
     if clean:
-        cleaned = stem_tokens(remove_stopwords(F.col("tokens")))
+        cleaned = snowball_stem_tokens(remove_stopwords(F.col("tokens")))
         rec = rec.withColumn("tokens", cleaned).withColumn(
             "agValue", F.array_join(cleaned, " ")
         ).withColumn("token_set", F.array_distinct(cleaned))
