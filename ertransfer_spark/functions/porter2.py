@@ -225,12 +225,14 @@ def snowball_stem_tokens(tokens_col):
     the distinct-token set per batch is small). This is the slow-path
     reference-parity stemmer; the JVM-side functions/text.stem_tokens is
     the default."""
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, StringType
 
+    # no type hints: pd is a local import, so string annotations would not
+    # resolve for pyspark's hint inference — the no-hint form is a scalar
+    # Series→Series pandas UDF by construction
     @F.pandas_udf(ArrayType(StringType()))
-    def _stem_arr(s: pd.Series) -> pd.Series:
+    def _stem_arr(s):
         memo: dict[str, str] = {}
 
         def one(arr):

@@ -42,8 +42,13 @@ def _fsync_dir(path: Path) -> None:
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is actually loadable. NB: plain
+    ``spark._jvm.org.apache.iceberg.Table`` attribute access is NOT a probe —
+    py4j returns a JavaPackage stub for any dotted path without touching the
+    classpath (found by tests/test_iceberg_seam.py: the old form returned
+    True on a jar-less image). Class.forName forces a real load attempt."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
         return True
     except Exception:
         return False
