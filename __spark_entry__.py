@@ -667,6 +667,77 @@ def q_kl_divergence(spark, sf_dir):
     )
 
 
+def q_attr_pair_features(spark, sf_dir):
+    """M1 (Magellan per-attribute auto-features): attr_features over a
+    deterministic adjacent-partkey pair set on part — presence flag +
+    Levenshtein sim + token Jaccard per attribute, all native exprs
+    (operators/matcher.attr_features; the em.get_features_for_matching
+    analog). Floats rounded 6 dp per the contract."""
+    from ertransfer_spark.operators.matcher import attr_features
+
+    attrs = ["p_name", "p_brand", "p_type"]
+    c = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"), *attrs
+    )
+    pairs = (
+        c.select(F.col("id").alias("a_id"))
+        .withColumn("b_id", F.col("a_id") + 1)
+        .join(c.select(F.col("id").alias("b_id")), "b_id", "left_semi")
+    )
+    out, names = attr_features(pairs, c, c, attrs)
+    return out.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        *[F.round(F.col(n), 6).alias(n) for n in names],
+    )
+
+
+def _attr_features_oracle_sql() -> str:
+    """DuckDB twin of q_attr_pair_features: same normalize / levenshtein /
+    token-jaccard formulas (functions/similarity.py), generated per
+    attribute so the three blocks cannot drift apart."""
+    attrs = ["p_name", "p_brand", "p_type"]
+    norm = "trim(regexp_replace(lower(coalesce(CAST({col} AS VARCHAR), '')), '[^a-z0-9]+', ' ', 'g'))"
+    c_cols = ",\n                     ".join(
+        f"{norm.format(col=a)} AS n_{a}" for a in attrs
+    )
+    p_cols = ",\n                     ".join(
+        f"a.n_{x} AS a_{x}, b.n_{x} AS b_{x}" for x in attrs
+    )
+    feat_cols = []
+    for x in attrs:
+        both = f"(length(a_{x}) > 0 AND length(b_{x}) > 0)"
+        lev = (
+            f"1.0 - CAST(levenshtein(a_{x}, b_{x}) AS DOUBLE)"
+            f" / greatest(length(a_{x}), length(b_{x}))"
+        )
+        toks = "list_distinct(list_filter(regexp_split_to_array({s}, '[^a-z0-9]+'), t -> t <> ''))"
+        ta, tb = toks.format(s=f"a_{x}"), toks.format(s=f"b_{x}")
+        o = f"len(list_intersect({ta}, {tb}))"
+        denom = f"(len({ta}) + len({tb}) - {o})"
+        jac = f"CASE WHEN {denom} > 0 THEN CAST({o} AS DOUBLE) / {denom} ELSE 0.0 END"
+        feat_cols += [
+            f"round(CASE WHEN {both} THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 6) AS {x}_present",
+            f"round(CASE WHEN {both} THEN {lev} ELSE 0.0 END, 6) AS {x}_lev",
+            f"round(CASE WHEN {both} THEN {jac} ELSE 0.0 END, 6) AS {x}_jac",
+        ]
+    sel = ",\n                   ".join(feat_cols)
+    return f"""
+            WITH c AS (
+              SELECT CAST(p_partkey AS BIGINT) AS id,
+                     {c_cols}
+              FROM part
+            ), p AS (
+              SELECT a.id AS a_id, b.id AS b_id,
+                     {p_cols}
+              FROM c a JOIN c b ON b.id = a.id + 1
+            )
+            SELECT a_id, b_id,
+                   {sel}
+            FROM p
+        """
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -687,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocal_top1": q_reciprocal_top1,
         "threshold_sweep": q_threshold_sweep,
         "stratified_split": q_stratified_split,
+        "attr_pair_features": q_attr_pair_features,
         "umc_greedy": q_umc_greedy,
         "connected_components": q_connected_components,
         # transcript-shaped ops
@@ -839,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, label, CAST(count(*) AS BIGINT) AS n_pairs
             FROM lab GROUP BY split, label
         """,
+        "attr_pair_features": _attr_features_oracle_sql(),
         "umc_greedy": SQL_SCORED.replace("WITH tk AS", "WITH RECURSIVE tk AS", 1) + f"""
             , filt AS (
               SELECT a_id, b_id, sim_r AS prob FROM scored WHERE sim_r >= {CC_THRESHOLD}
