@@ -150,7 +150,7 @@ for N vs 4N executors mandated by the driver instructions{'; REAL executor '
     s8, s32 = best8.get("stages", {}), best32.get("stages", {})
     if s8 and s32:
         block += "\nPer-stage decomposition (wall s, best runs):\n\n"
-        block += "| stage | local[8] | local[32] | speedup | efficiency |\n"
+        block += f"| stage | {lbl_lo} | {lbl_hi} | speedup | efficiency |\n"
         block += "| --- | --- | --- | --- | --- |\n"
         for st in s8:
             t8, t32 = s8[st], s32.get(st, 0.0)
