@@ -53,6 +53,26 @@ def test_canonicalize_sides_matches_per_side(spark, spark_corpora):
             pd.testing.assert_frame_equal(got, want)
 
 
+def test_canonicalize_sides_width_guard(spark, spark_corpora):
+    """width = max(2 × shuffle partitions, union's input partitions): the
+    repartition never shrinks below the input's own parallelism (r3 verdict
+    residue — future-proofs AQE-coalesced sessions / very wide scans)."""
+    from ertransfer_spark.operators.canonicalize import canonicalize_sides
+
+    ta, tb = spark_corpora[0].coalesce(1), spark_corpora[1].coalesce(1)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # narrow input (union = 2 partitions): the 2x-shuffle term wins → 8
+        ra, _ = canonicalize_sides(ta, tb, checkpoint=True)
+        assert ra.rdd.getNumPartitions() == 8
+        # input wider than 2x shuffle width (union = 48): guard keeps 48
+        ra2, _ = canonicalize_sides(ta.repartition(24), tb.repartition(24), checkpoint=True)
+        assert ra2.rdd.getNumPartitions() == 48
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_empty_cleaning_turn_parity(spark):
     """A turn whose text cleans to '' (literal 'nan', whitespace-only, tabs)
     must leave NO double space in agValue, and batch canonicalize must stay
