@@ -96,6 +96,59 @@ def read_matches_normalized(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_pair_split(
+    spark: SparkSession, path: str, prefix_ids: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """DeepMatcher-style labeled pair CSV (``tableA_id, tableA_<attr>...,
+    tableB_id, tableB_<attr>..., label``) → (pairs, records_a, records_b).
+
+    This is the reference matcher benchmark's input shape — its methods
+    train on ``train.csv`` and evaluate on ``test.csv`` committed per
+    dataset (methods/deepmatcher/entrypoint.py:36-61,
+    methods/magellan/entrypoint.py) — and because the attribute values are
+    INLINE, it also unlocks datasets whose tableB.csv is not committed
+    (d9_dblp_scholar, d11_itunes_amazon).
+
+    Returns:
+    - pairs: (a_id, b_id, label double) — ids ``a_``/``b_``-prefixed when
+      ``prefix_ids`` (the two tables share a 0-based id space);
+    - records_a/records_b: one row per distinct id with the side's
+      attribute columns (``tableA_``/``tableB_`` prefixes stripped),
+      deduplicated across however many pair rows mention the id.
+    """
+    sep = sniff_separator(spark, path)
+    df = spark.read.csv(
+        path, header=True, sep=sep, multiLine=True, escape='"', encoding="UTF-8"
+    )
+    cols = df.columns
+    if "label" not in [c.lower() for c in cols]:
+        raise ValueError(f"{path}: pair split needs a 'label' column (have {cols})")
+
+    def _side(tag: str, out_prefix: str) -> DataFrame:
+        side_cols = [c for c in cols if c.lower().startswith(tag.lower())]
+        id_src = next(c for c in side_cols if c.lower() == f"{tag.lower()}_id")
+        id_expr = F.col(id_src).cast("long").cast("string")
+        if prefix_ids:
+            id_expr = F.concat(F.lit(out_prefix), id_expr)
+        attrs = [
+            F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c[len(tag) + 1 :])
+            for c in side_cols
+            if c.lower() != f"{tag.lower()}_id"
+        ]
+        return df.select(id_expr.alias("id"), *attrs).dropDuplicates(["id"])
+
+    a_pre = "a_" if prefix_ids else ""
+    b_pre = "b_" if prefix_ids else ""
+    a_id = F.col("tableA_id").cast("long").cast("string")
+    b_id = F.col("tableB_id").cast("long").cast("string")
+    pairs = df.select(
+        (F.concat(F.lit(a_pre), a_id) if prefix_ids else a_id).alias("a_id"),
+        (F.concat(F.lit(b_pre), b_id) if prefix_ids else b_id).alias("b_id"),
+        F.col("label").cast("double").alias("label"),
+    )
+    return pairs, _side("tableA", "a_"), _side("tableB", "b_")
+
+
 def column_intersection(a: DataFrame, b: DataFrame, keep: tuple = ("id",)) -> tuple:
     """P2: restrict both sides to their common columns (schema-intersection
     projection, splitters/DeepBlocker/splitter.py:39-41) — order preserved

@@ -144,3 +144,56 @@ def test_d4_dblp_acm_end_to_end(spark):
     )
     m = _pipeline_f1(spark, ra, rb, golden, cand)
     assert m["f1"] >= 0.9, m
+
+
+def test_d2_abt_buy_end_to_end(spark):
+    """abt-buy — the hard TEXTUAL dataset (name/description blobs, no
+    structured keys). Blocking per settings.py: clean=True, QGram=3,
+    multiset cosine, K=4. Measured 0.768 (p=0.98, r=0.63) — for context,
+    the published classical (Magellan) baseline on abt-buy's curated
+    benchmark split is ~0.43-0.61; the 1:1 UMC clustering constraint buys
+    most of the precision here."""
+    from ertransfer_spark.functions.text import qgrams
+    from ertransfer_spark.operators.blocking import top_k_token_join
+
+    a, b, golden = _load(spark, "d2_abt_buy")
+    ra = _canon(a, "a", clean=True).withColumn(
+        "qg", qgrams(F.col("agValue"), q=3, multiset=True)
+    ).localCheckpoint()
+    rb = _canon(b, "b", clean=True).withColumn(
+        "qg", qgrams(F.col("agValue"), q=3, multiset=True)
+    ).localCheckpoint()
+    cand = top_k_token_join(ra, rb, k=4, metric="cosine", tokens_col="qg", multiset=True)
+    m = _pipeline_f1(
+        spark, ra, rb, golden, cand, raw=(a, b), attrs=["name", "description", "price"]
+    )
+    assert m["f1"] >= 0.7, m
+
+
+# Matcher-only benchmark on the reference's OWN committed train/test pair
+# splits — the regime its matcher methods run (methods/deepmatcher/
+# entrypoint.py:36-61 trains on train.csv, reports F1 on test.csv).
+# Attribute values are inline in the pair files, which also unlocks the
+# two datasets whose tableB.csv is not committed (d9, d11). NOTE these
+# committed splits carry randomly-sampled negatives (easier than the
+# curated DeepMatcher-paper benchmarks); floors are set just under the
+# measured values (scripts/exp_matcher_splits.py, 2026-08-18):
+# d2 0.930, d8 0.988, d9 0.998, d11 0.987, d12 0.905.
+@pytest.mark.parametrize(
+    "name,floor",
+    [
+        ("d2_abt_buy", 0.85),
+        ("d8_amazon_walmart", 0.93),
+        ("d9_dblp_scholar", 0.97),
+        ("d11_itunes_amazon", 0.90),
+        ("d12_beeradvo_ratebeer", 0.80),
+    ],
+)
+def test_matcher_on_committed_splits(spark, name, floor):
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from exp_matcher_splits import matcher_split_eval
+
+    m = matcher_split_eval(spark, name)
+    assert m["f1"] >= floor, (name, m)
