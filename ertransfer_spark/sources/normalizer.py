@@ -35,6 +35,30 @@ _MATCH_RENAMES = {
 }
 
 
+def _local_name(col: str) -> str:
+    """RDF-URI column header → its local name (segment after the last
+    ``/`` or ``#``): the d5_imdb_tmdb pair files carry headers like
+    ``https://www.scads.de/movieBenchmark/ontology/title``, and dotted
+    URIs break Spark column resolution (``.`` is the nested-field
+    accessor). Non-URI names pass through untouched."""
+    if "://" not in col:
+        return col
+    for sep in ("#", "/"):
+        if sep in col:
+            col = col.rsplit(sep, 1)[1]
+            break
+    return col
+
+
+def _localize_columns(df: DataFrame) -> DataFrame:
+    """Rename URI-shaped headers to their local names; on a collision
+    (two URIs sharing a local name) keep the originals untouched."""
+    new = [_local_name(c) for c in df.columns]
+    if new == df.columns or len(set(new)) != len(new):
+        return df
+    return df.toDF(*new)
+
+
 def sniff_separator(spark: SparkSession, path: str) -> str:
     """Detect the delimiter from the header line (normanizer.py:21-23)."""
     head = spark.read.text(path).limit(1).collect()
@@ -71,11 +95,13 @@ def read_csv_normalized(
     for c in df.columns:
         if c == "_corrupt":
             continue
+        # backtick-quote: URI headers contain '.', Spark's nested-field accessor
+        ref = F.col(f"`{c}`" if "." in c else c)
         if c.lower() == "id":
-            out_cols.append(F.col(c).cast("long").alias("id"))
+            out_cols.append(ref.cast("long").alias("id"))
         else:
-            out_cols.append(F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c))
-    return df.select(*out_cols)
+            out_cols.append(F.coalesce(ref.cast("string"), F.lit("")).alias(c))
+    return _localize_columns(df.select(*out_cols))
 
 
 def read_matches_normalized(spark: SparkSession, path: str) -> DataFrame:
@@ -130,10 +156,15 @@ def read_pair_split(
         id_expr = F.col(id_src).cast("long").cast("string")
         if prefix_ids:
             id_expr = F.concat(F.lit(out_prefix), id_expr)
+        non_id = [c for c in side_cols if c.lower() != f"{tag.lower()}_id"]
+        stripped = [c[len(tag) + 1 :] for c in non_id]
+        # URI headers (d5) → local names, unless that would collide
+        local = [_local_name(s) for s in stripped]
+        if len(set(local)) != len(local):
+            local = stripped
         attrs = [
-            F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c[len(tag) + 1 :])
-            for c in side_cols
-            if c.lower() != f"{tag.lower()}_id"
+            F.coalesce(F.col(f"`{c}`" if "." in c else c).cast("string"), F.lit("")).alias(out)
+            for c, out in zip(non_id, local)
         ]
         return df.select(id_expr.alias("id"), *attrs).dropDuplicates(["id"])
 

@@ -22,6 +22,13 @@ ATTRS = {
     "d1_fodors_zagats": ["name", "phone_number", "street"],
     "d2_abt_buy": ["name", "description", "price"],
     "d4_dblp_acm": ["title", "authors", "venue", "year"],
+    # d5-d7/d10 sides have ASYMMETRIC schemas; listed attrs are the shared
+    # ones (intersection enforced below). d5's URI headers normalize to
+    # local names in read_pair_split.
+    "d5_imdb_tmdb": ["title", "name", "episodeNumber", "seasonNumber", "genre_list"],
+    "d6_imdb_tvdb": ["title", "name", "episodeNumber", "seasonNumber"],
+    "d7_tmdb_tvdb": ["title", "name", "abstract", "episodeNumber", "seasonNumber", "releaseDate"],
+    "d10_imdb_dbpedia": ["title"],
     "d8_amazon_walmart": ["title", "modelno", "price", "brand"],
     "d9_dblp_scholar": ["title", "authors", "venue", "year"],
     "d11_itunes_amazon": [
@@ -49,7 +56,7 @@ def matcher_split_eval(spark, name: str, algorithm: str = "rf") -> dict:
     te_pairs, tea, teb = read_pair_split(spark, str(d / "test.csv"))
     raw_a = tra.unionByName(tea).dropDuplicates(["id"]).localCheckpoint()
     raw_b = trb.unionByName(teb).dropDuplicates(["id"]).localCheckpoint()
-    attrs = [c for c in ATTRS[name] if c in raw_a.columns]
+    attrs = [c for c in ATTRS[name] if c in raw_a.columns and c in raw_b.columns]
     rec_a = canonicalize_table(raw_a, id_col="id").localCheckpoint()
     rec_b = canonicalize_table(raw_b, id_col="id").localCheckpoint()
 
