@@ -141,6 +141,12 @@ def read_pair_split(
     - records_a/records_b: one row per distinct id with the side's
       attribute columns (``tableA_``/``tableB_`` prefixes stripped),
       deduplicated across however many pair rows mention the id.
+
+    Scale note: ``multiLine=True`` is required (d2's description fields
+    quote embedded newlines) and makes each CSV FILE non-splittable — one
+    task per file. Fine for labeled pair splits (thousands of rows by
+    construction: they are hand-labeled); for bulk data use parquet or
+    newline-sanitized CSV so the scan parallelizes.
     """
     sep = sniff_separator(spark, path)
     df = spark.read.csv(
