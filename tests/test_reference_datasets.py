@@ -171,12 +171,14 @@ def test_d2_abt_buy_end_to_end(spark):
 
 
 def test_d3_amazon_google_end_to_end(spark):
-    """amazon-google — hard textual-ish, 1:many golden (1102 matches over
-    1354x2935), no committed train/test split. Blocking per settings.py:
-    clean=True, QGram=5, multiset cosine, K=26, reverse. Measured 0.618
-    (p=0.74, r=0.53; block recall 0.886) — published classical baselines
-    on this dataset's curated benchmark run ~0.49; the UMC 1:1 constraint
-    trades recall on the 1:many golden for precision."""
+    """amazon-google — hard textual (1102 matches over 1354x2935), no
+    committed train/test split. The golden is a perfect 1:1 mapping
+    (1102 pairs = 1102 distinct a_ids = 1102 distinct b_ids, max
+    bipartite matching 1102), so UMC's 1:1 constraint costs NO recall
+    here — the loss is matcher ranking on hard textual pairs (block
+    recall 0.886). Blocking per settings.py: clean=True, QGram=5,
+    multiset cosine, K=26, reverse. Published classical baselines on
+    this dataset's curated benchmark run ~0.49."""
     from ertransfer_spark.functions.text import qgrams
     from ertransfer_spark.operators.blocking import top_k_token_join
 
