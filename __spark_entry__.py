@@ -738,6 +738,76 @@ def _attr_features_oracle_sql() -> str:
         """
 
 
+def q_tfidf_pair_cosine(spark, sf_dir):
+    """F5/M1 (TF-IDF-cosine pair feature, named in the north rule's
+    feature vector): corpus-IDF-weighted token cosine over a
+    deterministic adjacent-partkey pair set on part
+    (operators/matcher.tfidf_cosine — explode/equi-join/partial-agg, no
+    UDF). idf = ln(n_docs/df) over the union corpus; cosine rounded 6 dp
+    per the contract."""
+    from ertransfer_spark.functions.text import distinct_tokens
+    from ertransfer_spark.operators.matcher import tfidf_cosine
+
+    c = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        distinct_tokens("p_name").alias("token_set"),
+    )
+    pairs = (
+        c.select(F.col("id").alias("a_id"))
+        .withColumn("b_id", F.col("a_id") + 1)
+        .join(c.select(F.col("id").alias("b_id")), "b_id", "left_semi")
+    )
+    out = tfidf_cosine(pairs, c, c, id_col="id")
+    return out.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        F.round("tfidf_cos", 6).alias("tfidf_cos"),
+    )
+
+
+def _tfidf_cosine_oracle_sql() -> str:
+    """DuckDB twin of q_tfidf_pair_cosine. Both sides of the pair corpus
+    are the SAME part table, so the doubled n_docs and doubled df cancel
+    (ln(2N/2df) = ln(N/df)) — the SQL computes the single-copy form; the
+    Spark operator computes the union form; values are identical."""
+    toks = (
+        "list_distinct(list_filter(regexp_split_to_array(lower(coalesce(p_name, '')),"
+        " '[^a-z0-9]+'), t -> t <> ''))"
+    )
+    return f"""
+            WITH c AS (
+              SELECT CAST(p_partkey AS BIGINT) AS id, {toks} AS toks
+              FROM part
+            ), n AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM c
+            ), posting AS (
+              SELECT id, unnest(toks) AS tok FROM c
+            ), w AS (
+              SELECT p.id, p.tok, ln(n.n_docs / d.df) AS idf
+              FROM posting p
+              JOIN (SELECT tok, COUNT(*) AS df FROM posting GROUP BY tok) d USING (tok)
+              CROSS JOIN n
+            ), nrm AS (
+              SELECT id, sqrt(sum(idf * idf)) AS nrm FROM w GROUP BY id
+            ), pr AS (
+              SELECT a.id AS a_id, b.id AS b_id
+              FROM c a JOIN c b ON b.id = a.id + 1
+            ), dt AS (
+              SELECT pr.a_id, pr.b_id, sum(wa.idf * wb.idf) AS dot
+              FROM pr
+              JOIN w wa ON wa.id = pr.a_id
+              JOIN w wb ON wb.id = pr.b_id AND wb.tok = wa.tok
+              GROUP BY pr.a_id, pr.b_id
+            )
+            SELECT pr.a_id, pr.b_id,
+                   round(coalesce(dt.dot / (na.nrm * nb.nrm), 0.0), 6) AS tfidf_cos
+            FROM pr
+            LEFT JOIN dt ON dt.a_id = pr.a_id AND dt.b_id = pr.b_id
+            LEFT JOIN nrm na ON na.id = pr.a_id
+            LEFT JOIN nrm nb ON nb.id = pr.b_id
+        """
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -759,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "stratified_split": q_stratified_split,
         "attr_pair_features": q_attr_pair_features,
+        "tfidf_pair_cosine": q_tfidf_pair_cosine,
         "umc_greedy": q_umc_greedy,
         "connected_components": q_connected_components,
         # transcript-shaped ops
@@ -912,6 +983,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lab GROUP BY split, label
         """,
         "attr_pair_features": _attr_features_oracle_sql(),
+        "tfidf_pair_cosine": _tfidf_cosine_oracle_sql(),
         "umc_greedy": SQL_SCORED.replace("WITH tk AS", "WITH RECURSIVE tk AS", 1) + f"""
             , filt AS (
               SELECT a_id, b_id, sim_r AS prob FROM scored WHERE sim_r >= {CC_THRESHOLD}

@@ -9,7 +9,7 @@ dataset directory and gets the same artifact kinds back:
 
     python -m ertransfer_spark.cli run <dataset_dir> <out_dir> \
         [--k 5] [--algorithm logreg|gbt|unsupervised] [--clustering umc|ec] \
-        [--threshold T] [--cpus N]
+        [--threshold T] [--tfidf [--tfidf-max-df N]] [--cpus N]
 
 Outputs in <out_dir>:
     train.csv / valid.csv / test.csv   labeled candidate pairs (60/20/20)
@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--clustering", default="umc", choices=["umc", "ec"])
     run.add_argument("--threshold", type=float, default=None)
     run.add_argument("--tokens", default="token_set", choices=["token_set", "shingle_set"])
+    run.add_argument("--tfidf", action="store_true",
+                     help="add the corpus-IDF token-cosine matcher feature "
+                          "(lifts hard textual datasets; see SURVEY §8 F5)")
+    run.add_argument("--tfidf-max-df", type=int, default=None,
+                     help="drop tokens above this document frequency from the "
+                          "tfidf feature (stop-token scale guard)")
     run.add_argument("--cpus", type=int, default=None)
     run.add_argument("--no-resume", action="store_true")
     return p
@@ -83,7 +89,7 @@ def cmd_run(args) -> int:
     cfg = PipelineConfig(
         k=args.k, metric=args.metric, algorithm=args.algorithm,
         clustering=args.clustering, threshold=args.threshold,
-        tokens_col=args.tokens,
+        tokens_col=args.tokens, tfidf=args.tfidf, tfidf_max_df=args.tfidf_max_df,
     )
     pipe = ERPipeline(spark, str(out / "snapshots"), cfg)
 

@@ -33,6 +33,7 @@ from ertransfer_spark.operators.labeling import (
     stratified_split,
 )
 from ertransfer_spark.operators.matcher import (
+    FEATURES,
     attach_pair_text,
     evaluate_predictions,
     featurize,
@@ -61,6 +62,8 @@ class PipelineConfig:
     threshold: float | None = None   # None → tuned via single-pass sweep
     split_weights: tuple = (0.6, 0.2, 0.2)
     seed: int = 42
+    tfidf: bool = False              # + corpus-IDF token cosine feature
+    tfidf_max_df: int | None = None  # stop-token df cap for the tfidf join
     extra: dict = field(default_factory=dict)
 
 
@@ -157,13 +160,24 @@ class ERPipeline:
 
         labeled = self._stage("labeled", _label, resume) if golden is not None else cand
 
+        def _featurize(pairs_df):
+            ft = featurize(attach_pair_text(pairs_df, ra, rb, truncate=256))
+            if cfg.tfidf:
+                from ertransfer_spark.operators.matcher import tfidf_cosine
+
+                ft = tfidf_cosine(ft, ra, rb, max_df=cfg.tfidf_max_df)
+            return ft
+
+        feature_cols = FEATURES + ["tfidf_cos"] if cfg.tfidf else None
+
         def _predict():
             if golden is not None and cfg.algorithm != "unsupervised":
                 splits = stratified_split(labeled, cfg.split_weights, cfg.seed)
-                train_ft = featurize(attach_pair_text(splits["train"], ra, rb, truncate=256))
-                model = train_matcher(train_ft, algorithm=cfg.algorithm, seed=cfg.seed)
-                all_ft = featurize(attach_pair_text(labeled, ra, rb, truncate=256))
-                preds = score(model, all_ft)
+                model = train_matcher(
+                    _featurize(splits["train"]), algorithm=cfg.algorithm,
+                    seed=cfg.seed, feature_cols=feature_cols,
+                )
+                preds = score(model, _featurize(labeled))
             else:
                 # no labels (or algorithm="unsupervised"): ZeroER-style GMM
                 # over the similarity features — the reference paper's
@@ -173,8 +187,8 @@ class ERPipeline:
                     train_unsupervised,
                 )
 
-                all_ft = featurize(attach_pair_text(labeled, ra, rb, truncate=256))
-                um = train_unsupervised(all_ft, seed=cfg.seed)
+                all_ft = _featurize(labeled)
+                um = train_unsupervised(all_ft, seed=cfg.seed, feature_cols=feature_cols)
                 preds = score_unsupervised(um, all_ft)
             return preds, [{"candidate_count": preds.count()}]
 

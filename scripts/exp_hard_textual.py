@@ -14,6 +14,17 @@ JVM-expr / explode-join-agg shapes that scale:
   gbt     GBT instead of RF
   block+  union blocking (qgram config ∪ word-token cosine top-k)
 
+Measured (2026-08-18, committed winners promoted to
+operators/matcher.py attr_features(extra=)/tfidf_cosine):
+  d3: baseline 0.618 → +num 0.631 → +num+ovl 0.667 → +num+ovl+tfidf
+      0.691 (rf); gbt 0.651 (loses).
+  d2: baseline 0.783 → +num+ovl(n)+qg3(n) 0.795 → +num+ovl+tfidf 0.823
+      (rf); gbt 0.767 (loses).
+  NEGATIVE: d3 union blocking (qgram ∪ word-token k=10) lifts block
+  recall only 0.886→0.896 while F1 DROPS to 0.681 — the 4.6k extra
+  candidates cost more precision than the 11 recovered golden pairs buy
+  recall. Not adopted.
+
 Usage: python scripts/exp_hard_textual.py [d2|d3] [variant ...]
 """
 

@@ -127,3 +127,103 @@ def test_attr_features_presence_and_similarity(spark):
     assert t["phone_present"] == 1.0 and t["phone_lev"] == 1.0
     x = rows[("a1", "b2")]  # name empty on the b side: not co-present
     assert x["name_present"] == 0.0
+
+
+def test_attr_features_extra_kinds(spark):
+    """extra kinds: numeric distance (num), overlap coefficient (ovl) and
+    3-gram jaccard (qg3) — hand-computed values, plus the 0-fallbacks
+    (no number on a side, empty attr)."""
+    from ertransfer_spark.operators.matcher import attr_features
+
+    a = spark.createDataFrame(
+        [("a1", "usb cable 2m", "12.99"), ("a2", "hdmi lead", "")],
+        "id string, name string, price string",
+    )
+    b = spark.createDataFrame(
+        [("b1", "premium usb cable for printer 2m gold", "10.00"),
+         ("b2", "", "5")],
+        "id string, name string, price string",
+    )
+    pairs = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2")], "a_id string, b_id string"
+    )
+    out, names = attr_features(
+        pairs, a, b, ["name", "price"],
+        extra=[("num", "price"), ("ovl", "name"), ("qg3", "name")],
+    )
+    assert names[-3:] == ["price_num", "name_ovl", "name_qg3"]
+    rows = {(r["a_id"], r["b_id"]): r for r in out.collect()}
+    m = rows[("a1", "b1")]
+    assert m["price_num"] == pytest.approx(1.0 - 2.99 / 12.99)
+    # {usb,cable,2m} ⊂ b's tokens → overlap coefficient 1.0
+    assert m["name_ovl"] == pytest.approx(1.0)
+    assert 0.0 < m["name_qg3"] < 1.0
+    t = rows[("a2", "b2")]  # a-side price empty, b-side name empty
+    assert t["price_num"] == 0.0 and t["name_ovl"] == 0.0 and t["name_qg3"] == 0.0
+
+
+def test_attr_features_extra_unknown_kind_raises(spark):
+    from ertransfer_spark.operators.matcher import attr_features
+
+    a = spark.createDataFrame([("a1", "x")], "id string, name string")
+    pairs = spark.createDataFrame([("a1", "a1")], "a_id string, b_id string")
+    with pytest.raises(ValueError):
+        attr_features(pairs, a, a, ["name"], extra=[("bogus", "name")])
+    with pytest.raises(ValueError):
+        attr_features(pairs, a, a, ["name"], extra=[("num", "absent")])
+
+
+def test_tfidf_cosine_hand_computed(spark):
+    """tfidf_cosine against hand-computed idf/norm/dot values: identical
+    records cos=1, disjoint records cos=0, and a partial overlap whose
+    exact value pins the ln(n_docs/df) weighting over the UNION corpus."""
+    import math
+
+    from ertransfer_spark.operators.matcher import tfidf_cosine
+
+    ra = spark.createDataFrame(
+        [("a1", ["x", "y"]), ("a2", ["x", "z"])],
+        "conv_id string, token_set array<string>",
+    )
+    rb = spark.createDataFrame(
+        [("b1", ["x", "y"]), ("b2", ["w"])],
+        "conv_id string, token_set array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [("a1", "b1"), ("a1", "b2"), ("a2", "b1")], "a_id string, b_id string"
+    )
+    out = {(r["a_id"], r["b_id"]): r["tfidf_cos"]
+           for r in tfidf_cosine(pairs, ra, rb).collect()}
+    # n_docs=4; df: x=3, y=2, z=1, w=1
+    ix, iy, iz = math.log(4 / 3), math.log(2.0), math.log(4.0)
+    assert out[("a1", "b1")] == pytest.approx(1.0)
+    assert out[("a1", "b2")] == 0.0
+    expected = ix * ix / (
+        math.sqrt(ix * ix + iz * iz) * math.sqrt(ix * ix + iy * iy)
+    )
+    assert out[("a2", "b1")] == pytest.approx(expected)
+
+
+def test_tfidf_cosine_max_df_cap(spark):
+    """max_df drops over-cap tokens from weights AND norms: with the
+    shared stop token capped out, a pair sharing only it scores 0 and a
+    pair sharing a rare token scores exactly on the reduced vocabulary."""
+    from ertransfer_spark.operators.matcher import tfidf_cosine
+
+    ra = spark.createDataFrame(
+        [("a1", ["the", "q"]), ("a2", ["the", "r"])],
+        "conv_id string, token_set array<string>",
+    )
+    rb = spark.createDataFrame(
+        [("b1", ["the", "q"]), ("b2", ["the", "s"])],
+        "conv_id string, token_set array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2")], "a_id string, b_id string"
+    )
+    out = {(r["a_id"], r["b_id"]): r["tfidf_cos"]
+           for r in tfidf_cosine(pairs, ra, rb, max_df=3).collect()}
+    # 'the' has df=4 > cap: a1/b1 share only 'q' → cos 1.0 on the reduced
+    # vocab; a2/b2 share nothing below the cap → 0
+    assert out[("a1", "b1")] == pytest.approx(1.0)
+    assert out[("a2", "b2")] == 0.0

@@ -121,3 +121,14 @@ def test_unsupervised_pipeline_no_labels(spark, spark_corpora, tmp_path):
     out = pipe.run(ta, tb, golden_matches=None, resume=False)
     m = pairwise_metrics(out["matched_pairs"], matches)
     assert m["f1"] >= 0.9, m
+
+
+def test_pipeline_tfidf_feature(spark, spark_corpora, workdir):
+    """PipelineConfig(tfidf=True) threads the corpus-IDF token-cosine
+    feature through train AND score (feature_cols stays consistent) and
+    holds the F1 bar; predictions carry the standard contract columns."""
+    ta, tb, matches = spark_corpora
+    pipe = ERPipeline(spark, workdir, PipelineConfig(k=5, tfidf=True))
+    out = pipe.run(ta, tb, matches)
+    assert out["metrics"]["f1"] >= 0.99
+    assert {"a_id", "b_id", "prob_class1"} <= set(out["predictions"].columns)

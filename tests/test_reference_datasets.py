@@ -73,13 +73,18 @@ def _canon(df, side, clean):
     return rec
 
 
-def _pipeline_f1(spark, ra, rb, golden, cand, raw=None, attrs=None, algorithm="rf"):
+def _pipeline_f1(spark, ra, rb, golden, cand, raw=None, attrs=None, algorithm="rf",
+                 extra=(), tfidf=False):
     """Block → label → featurize (blob + optional per-attribute) → train
     the reference-default RF matcher → score → UMC-cluster → pairwise F1.
     ``raw=(a, b)`` with ``attrs`` adds Magellan-style per-attribute
     features (see operators.matcher.attr_features — required on d1, where
     field presence is the only signal separating street-only text twins
-    from true name+phone matches)."""
+    from true name+phone matches). ``extra`` forwards additional
+    per-attribute feature kinds ((num/ovl/qg3, attr) pairs) and
+    ``tfidf=True`` adds the corpus-IDF-weighted token cosine — the two
+    upgrades that lift the hard textual datasets (d2 0.78→0.82,
+    d3 0.62→0.69; scripts/exp_hard_textual.py)."""
     from ertransfer_spark.operators.clustering import (
         best_threshold,
         pairwise_metrics,
@@ -92,6 +97,7 @@ def _pipeline_f1(spark, ra, rb, golden, cand, raw=None, attrs=None, algorithm="r
         attr_features,
         featurize,
         score,
+        tfidf_cosine,
         train_matcher,
     )
 
@@ -101,8 +107,11 @@ def _pipeline_f1(spark, ra, rb, golden, cand, raw=None, attrs=None, algorithm="r
     if attrs:
         pa = raw[0].select(F.concat(F.lit("a_"), F.col("id")).alias("id"), *attrs)
         pb = raw[1].select(F.concat(F.lit("b_"), F.col("id")).alias("id"), *attrs)
-        feats, names = attr_features(feats, pa, pb, attrs)
+        feats, names = attr_features(feats, pa, pb, attrs, extra=extra)
         feature_cols = FEATURES + names
+    if tfidf:
+        feats = tfidf_cosine(feats, ra, rb)
+        feature_cols = (feature_cols or FEATURES) + ["tfidf_cos"]
     feats = feats.localCheckpoint()
     model = train_matcher(
         stratified_split(feats)["train"], algorithm=algorithm, feature_cols=feature_cols
@@ -149,10 +158,11 @@ def test_d4_dblp_acm_end_to_end(spark):
 def test_d2_abt_buy_end_to_end(spark):
     """abt-buy — the hard TEXTUAL dataset (name/description blobs, no
     structured keys). Blocking per settings.py: clean=True, QGram=3,
-    multiset cosine, K=4. Measured 0.768 (p=0.98, r=0.63) — for context,
-    the published classical (Magellan) baseline on abt-buy's curated
-    benchmark split is ~0.43-0.61; the 1:1 UMC clustering constraint buys
-    most of the precision here."""
+    multiset cosine, K=4. With the numeric-price + name-overlap +
+    TF-IDF-cosine features: measured 0.823 (p=0.98, r=0.71) — for
+    context, the published classical (Magellan) baseline on abt-buy's
+    curated benchmark split is ~0.43-0.61; the 1:1 UMC clustering
+    constraint buys most of the precision here."""
     from ertransfer_spark.functions.text import qgrams
     from ertransfer_spark.operators.blocking import top_k_token_join
 
@@ -165,9 +175,11 @@ def test_d2_abt_buy_end_to_end(spark):
     ).localCheckpoint()
     cand = top_k_token_join(ra, rb, k=4, metric="cosine", tokens_col="qg", multiset=True)
     m = _pipeline_f1(
-        spark, ra, rb, golden, cand, raw=(a, b), attrs=["name", "description", "price"]
+        spark, ra, rb, golden, cand, raw=(a, b),
+        attrs=["name", "description", "price"],
+        extra=[("num", "price"), ("ovl", "name")], tfidf=True,
     )
-    assert m["f1"] >= 0.7, m
+    assert m["f1"] >= 0.78, m
 
 
 def test_d3_amazon_google_end_to_end(spark):
@@ -177,8 +189,10 @@ def test_d3_amazon_google_end_to_end(spark):
     bipartite matching 1102), so UMC's 1:1 constraint costs NO recall
     here — the loss is matcher ranking on hard textual pairs (block
     recall 0.886). Blocking per settings.py: clean=True, QGram=5,
-    multiset cosine, K=26, reverse. Published classical baselines on
-    this dataset's curated benchmark run ~0.49."""
+    multiset cosine, K=26, reverse. With the numeric-price +
+    title-overlap + TF-IDF-cosine features: measured 0.691 (p=0.81,
+    r=0.60). Published classical baselines on this dataset's curated
+    benchmark run ~0.49."""
     from ertransfer_spark.functions.text import qgrams
     from ertransfer_spark.operators.blocking import top_k_token_join
 
@@ -195,8 +209,9 @@ def test_d3_amazon_google_end_to_end(spark):
     m = _pipeline_f1(
         spark, ra, rb, golden, cand,
         raw=(a, b), attrs=["title", "description", "manufacturer", "price"],
+        extra=[("num", "price"), ("ovl", "title")], tfidf=True,
     )
-    assert m["f1"] >= 0.55, m
+    assert m["f1"] >= 0.65, m
 
 
 # Matcher-only benchmark on the reference's OWN committed train/test pair
