@@ -9,7 +9,8 @@ dataset directory and gets the same artifact kinds back:
 
     python -m ertransfer_spark.cli run <dataset_dir> <out_dir> \
         [--k 5] [--algorithm logreg|gbt|unsupervised] [--clustering umc|ec] \
-        [--threshold T] [--tfidf [--tfidf-max-df N]] [--cpus N]
+        [--threshold T] [--tfidf [--tfidf-max-df N]] \
+        [--attrs name,phone] [--attr-extra num:price,ovl:name] [--cpus N]
 
 Outputs in <out_dir>:
     train.csv / valid.csv / test.csv   labeled candidate pairs (60/20/20)
@@ -49,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--tfidf-max-df", type=int, default=None,
                      help="drop tokens above this document frequency from the "
                           "tfidf feature (stop-token scale guard)")
+    run.add_argument("--attrs", default=None,
+                     help="comma-separated attribute columns for Magellan-style "
+                          "per-attribute matcher features (presence/levenshtein/"
+                          "jaccard each), e.g. --attrs name,phone_number,street")
+    run.add_argument("--attr-extra", default=None,
+                     help="extra per-attribute feature kinds as kind:attr pairs "
+                          "(kinds: num, ovl, qg3), e.g. "
+                          "--attr-extra num:price,ovl:name")
     run.add_argument("--cpus", type=int, default=None)
     run.add_argument("--no-resume", action="store_true")
     return p
@@ -86,10 +95,17 @@ def cmd_run(args) -> int:
     ra = canonicalize_table(ta).cache()
     rb = canonicalize_table(tb).cache()
 
+    attrs = tuple(s.strip() for s in args.attrs.split(",")) if args.attrs else ()
+    attr_extra = ()
+    if args.attr_extra:
+        attr_extra = tuple(
+            tuple(pair.split(":", 1)) for pair in args.attr_extra.split(",")
+        )
     cfg = PipelineConfig(
         k=args.k, metric=args.metric, algorithm=args.algorithm,
         clustering=args.clustering, threshold=args.threshold,
         tokens_col=args.tokens, tfidf=args.tfidf, tfidf_max_df=args.tfidf_max_df,
+        attrs=attrs, attr_extra=attr_extra,
     )
     pipe = ERPipeline(spark, str(out / "snapshots"), cfg)
 
@@ -107,6 +123,7 @@ def cmd_run(args) -> int:
         golden_matches=matches,
         resume=not args.no_resume,
         resume_records=True,
+        raw_a=ta, raw_b=tb,
     )
 
     def write_csv(df, name):

@@ -64,6 +64,9 @@ class PipelineConfig:
     seed: int = 42
     tfidf: bool = False              # + corpus-IDF token cosine feature
     tfidf_max_df: int | None = None  # stop-token df cap for the tfidf join
+    attrs: tuple = ()                # per-attribute features (tabular path;
+                                     # requires run(raw_a=, raw_b=))
+    attr_extra: tuple = ()           # extra (kind, attr) feature pairs
     extra: dict = field(default_factory=dict)
 
 
@@ -106,12 +109,21 @@ class ERPipeline:
         golden_matches: DataFrame | None = None,
         resume: bool = True,
         resume_records: bool | None = None,
+        raw_a: DataFrame | None = None,
+        raw_b: DataFrame | None = None,
     ) -> dict:
         """``resume_records`` overrides ``resume`` for the records_a/b
         stages only — the tabular-injection seam (cli.py) commits canonical
         records before calling run() and those must be honored even under
-        ``--no-resume`` (which recomputes every downstream stage)."""
+        ``--no-resume`` (which recomputes every downstream stage).
+
+        ``raw_a``/``raw_b``: the pre-canonicalization tables (``id`` +
+        attribute columns) for ``cfg.attrs`` per-attribute matcher features
+        — only the tabular path has these; transcript blobs use the
+        agValue features (+ optional ``cfg.tfidf``)."""
         cfg = self.cfg
+        if cfg.attrs and (raw_a is None or raw_b is None):
+            raise ValueError("cfg.attrs requires run(raw_a=, raw_b=)")
         rec_resume = resume if resume_records is None else resume_records
 
         ra = self._stage(
@@ -162,13 +174,27 @@ class ERPipeline:
 
         def _featurize(pairs_df):
             ft = featurize(attach_pair_text(pairs_df, ra, rb, truncate=256))
+            if cfg.attrs:
+                from ertransfer_spark.operators.matcher import attr_features
+
+                ft, _ = attr_features(
+                    ft, raw_a, raw_b, list(cfg.attrs), extra=list(cfg.attr_extra)
+                )
             if cfg.tfidf:
                 from ertransfer_spark.operators.matcher import tfidf_cosine
 
                 ft = tfidf_cosine(ft, ra, rb, max_df=cfg.tfidf_max_df)
             return ft
 
-        feature_cols = FEATURES + ["tfidf_cos"] if cfg.tfidf else None
+        feature_cols = None
+        if cfg.attrs or cfg.tfidf:
+            attr_names = [
+                f"{c}_{suffix}" for c in cfg.attrs
+                for suffix in ("present", "lev", "jac")
+            ] + [f"{c}_{k}" for k, c in cfg.attr_extra]
+            feature_cols = (
+                FEATURES + attr_names + (["tfidf_cos"] if cfg.tfidf else [])
+            )
 
         def _predict():
             if golden is not None and cfg.algorithm != "unsupervised":

@@ -117,3 +117,56 @@ def test_vector_blocking_recall(spark, spark_corpora):
     golden = {(r["a_conv_id"], r["b_conv_id"]) for r in matches.collect()}
     recall = len(got & golden) / len(golden)
     assert recall >= 0.9, recall
+
+
+def test_tabular_pipeline_attr_features_config(spark, tmp_path):
+    """PipelineConfig(attrs=..., attr_extra=..., tfidf=True) + run(raw_a=,
+    raw_b=) — the CLI-reachable per-attribute feature path (the d1/d2/d3
+    recipes) — holds the tabular F1 bar, and cfg.attrs without raw tables
+    is an explicit error."""
+    import pytest
+
+    from ertransfer_spark.operators.canonicalize import canonicalize_table
+    from ertransfer_spark.plans.pipeline import ERPipeline, PipelineConfig
+
+    rows_a, rows_b, matches = _fodors_zagats_like()
+    schema = "id long, name string, phone_number string, street string"
+    ta = spark.createDataFrame(rows_a, schema)
+    tb = spark.createDataFrame(rows_b, schema)
+    golden = spark.createDataFrame(matches, "a_conv_id long, b_conv_id long")
+
+    cfg = PipelineConfig(
+        k=5, algorithm="rf",
+        attrs=("name", "phone_number", "street"),
+        attr_extra=(("qg3", "name"), ("ovl", "street")),
+        tfidf=True,
+    )
+    pipe = ERPipeline(spark, str(tmp_path / "er"), cfg)
+    pipe.catalog.commit("records_a", canonicalize_table(ta))
+    pipe.catalog.commit("records_b", canonicalize_table(tb))
+    out = pipe.run(
+        spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"),
+        spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"),
+        golden_matches=golden, resume_records=True, raw_a=ta, raw_b=tb,
+    )
+    assert out["metrics"]["f1"] >= 0.95, out["metrics"]
+
+    with pytest.raises(ValueError, match="raw_a"):
+        ERPipeline(spark, str(tmp_path / "er2"), cfg).run(ta, tb, golden)
+
+
+def test_cli_attr_flags_parse():
+    """--attrs/--attr-extra/--tfidf parse into PipelineConfig shapes
+    without a Spark session."""
+    from ertransfer_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["run", "ds", "out", "--attrs", "name, price",
+         "--attr-extra", "num:price,ovl:name", "--tfidf", "--tfidf-max-df", "500"]
+    )
+    assert args.attrs == "name, price"
+    attrs = tuple(s.strip() for s in args.attrs.split(","))
+    extra = tuple(tuple(p.split(":", 1)) for p in args.attr_extra.split(","))
+    assert attrs == ("name", "price")
+    assert extra == (("num", "price"), ("ovl", "name"))
+    assert args.tfidf is True and args.tfidf_max_df == 500
