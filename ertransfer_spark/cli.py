@@ -8,9 +8,17 @@ contract end-to-end on Spark — a reference user points it at the same
 dataset directory and gets the same artifact kinds back:
 
     python -m ertransfer_spark.cli run <dataset_dir> <out_dir> \
-        [--k 5] [--algorithm logreg|gbt|unsupervised] [--clustering umc|ec] \
-        [--threshold T] [--tfidf [--tfidf-max-df N]] \
+        [--k 5] [--algorithm logreg|gbt|rf|dt|svm|linreg|nb|unsupervised] \
+        [--clustering umc|ec] [--threshold T] \
+        [--qgram N] [--reverse] [--clean] [--tfidf [--tfidf-max-df N]] \
         [--attrs name,phone] [--attr-extra num:price,ovl:name] [--cpus N]
+
+The reference's own dataset recipes become single invocations, e.g. d1
+(fodors-zagats, settings.py: clean=True QGram=4 dice reverse):
+
+    python -m ertransfer_spark.cli run datasets/d1_fodors_zagats out/ \
+        --clean --qgram 4 --metric dice --reverse --k 5 --algorithm rf \
+        --attrs name,phone_number,street
 
 Outputs in <out_dir>:
     train.csv / valid.csv / test.csv   labeled candidate pairs (60/20/20)
@@ -40,10 +48,20 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("out_dir")
     run.add_argument("--k", type=int, default=5)
     run.add_argument("--metric", default="jaccard")
-    run.add_argument("--algorithm", default="logreg", choices=["logreg", "gbt", "unsupervised"])
+    run.add_argument("--algorithm", default="logreg",
+                     choices=["logreg", "gbt", "rf", "dt", "svm", "linreg",
+                              "nb", "unsupervised"])
     run.add_argument("--clustering", default="umc", choices=["umc", "ec"])
     run.add_argument("--threshold", type=float, default=None)
     run.add_argument("--tokens", default="token_set", choices=["token_set", "shingle_set"])
+    run.add_argument("--qgram", type=int, default=None,
+                     help="block on agValue q-grams of this size instead of "
+                          "--tokens (the reference splitter's QGram=N configs)")
+    run.add_argument("--reverse", action="store_true",
+                     help="spend the K budget on the larger B side (J3)")
+    run.add_argument("--clean", action="store_true",
+                     help="stopword removal + Snowball (Porter2) stemming "
+                          "before blocking (the reference's clean=True)")
     run.add_argument("--tfidf", action="store_true",
                      help="add the corpus-IDF token-cosine matcher feature "
                           "(lifts hard textual datasets; see SURVEY §8 F5)")
@@ -92,8 +110,8 @@ def cmd_run(args) -> int:
             F.col("tableB_id").alias("b_conv_id"),
         )
 
-    ra = canonicalize_table(ta).cache()
-    rb = canonicalize_table(tb).cache()
+    ra = canonicalize_table(ta, clean=args.clean).cache()
+    rb = canonicalize_table(tb, clean=args.clean).cache()
 
     attrs = tuple(s.strip() for s in args.attrs.split(",")) if args.attrs else ()
     attr_extra = ()
@@ -106,6 +124,7 @@ def cmd_run(args) -> int:
         clustering=args.clustering, threshold=args.threshold,
         tokens_col=args.tokens, tfidf=args.tfidf, tfidf_max_df=args.tfidf_max_df,
         attrs=attrs, attr_extra=attr_extra,
+        qgram=args.qgram, reverse=args.reverse,
     )
     pipe = ERPipeline(spark, str(out / "snapshots"), cfg)
 

@@ -130,6 +130,7 @@ def canonicalize_table(
     records: DataFrame,
     id_col: str = "id",
     attr_cols: list[str] | None = None,
+    clean: bool = False,
 ) -> DataFrame:
     """Flat string-attribute tables → the same canonical record contract
     as :func:`canonicalize` (id, agValue, tokens, token_set, shingle_set,
@@ -141,6 +142,12 @@ def canonicalize_table(
     splitter.py:45-52). Makes the engine payload-agnostic — the blocking /
     matching / clustering stages downstream are identical for transcripts
     and tabular records.
+
+    ``clean=True`` is the reference's per-dataset ``clean`` switch
+    (splitters/KNN-Join/splitter.py:16-19,40-43): stopword removal +
+    Snowball English stemming (the vendored Porter2, the reference-parity
+    stemmer) applied to the token stream, with agValue/token_set/
+    shingle_set rebuilt from the cleaned tokens.
     """
     from ertransfer_spark.functions.text import SPARK_BIGRAMS_SQL
 
@@ -156,10 +163,16 @@ def canonicalize_table(
     )
     rec = records.select(
         F.col(id_col).alias("conv_id"), ag.alias("agValue")
-    )
+    ).withColumn("tokens", tokens(F.col("agValue")))
+    if clean:
+        from ertransfer_spark.functions.porter2 import snowball_stem_tokens
+        from ertransfer_spark.functions.text import remove_stopwords
+
+        rec = rec.withColumn(
+            "tokens", snowball_stem_tokens(remove_stopwords(F.col("tokens")))
+        ).withColumn("agValue", F.array_join(F.col("tokens"), " "))
     rec = (
-        rec.withColumn("tokens", tokens(F.col("agValue")))
-        .withColumn("token_set", distinct_tokens(F.col("agValue")))
+        rec.withColumn("token_set", F.array_distinct(F.col("tokens")))
         .withColumn("shingle_set", F.expr(SPARK_BIGRAMS_SQL.format(ts="tokens")))
         .withColumn("n_tokens", F.size(F.col("tokens")))
     )

@@ -48,6 +48,9 @@ class PipelineConfig:
     k: int = 5
     metric: str = "jaccard"
     tokens_col: str = "shingle_set"  # blocking token column from canonicalize
+    qgram: int | None = None         # block on agValue q-grams instead of
+                                     # tokens_col (reference splitter QGram=N)
+    reverse: bool = False            # K budget on the larger B side (J3)
     salt: int = 4                    # posting-join salt (hot-token spread)
     salt_hot_product: int | None = 65536  # salt only output-explosive tokens
     skinny_postings: bool = True     # (token, id) posting rows; sizes post-agg
@@ -139,8 +142,18 @@ class ERPipeline:
 
                 cand = vector_blocking(ra, rb, k=cfg.k, tokens_col=cfg.tokens_col)
             else:
+                ba, bb, tok_col, multiset = ra, rb, cfg.tokens_col, False
+                if cfg.qgram:
+                    # reference splitter QGram=N blocking: multiset q-grams
+                    # of the canonical blob (settings.py per-dataset config)
+                    from ertransfer_spark.functions.text import qgrams
+
+                    qg = qgrams(F.col("agValue"), q=cfg.qgram, multiset=True)
+                    ba, bb = ra.withColumn("qg", qg), rb.withColumn("qg", qg)
+                    tok_col, multiset = "qg", True
                 cand = top_k_token_join(
-                    ra, rb, k=cfg.k, metric=cfg.metric, tokens_col=cfg.tokens_col, salt=cfg.salt,
+                    ba, bb, k=cfg.k, metric=cfg.metric, tokens_col=tok_col,
+                    multiset=multiset, reverse=cfg.reverse, salt=cfg.salt,
                     salt_hot_product=cfg.salt_hot_product,
                     skinny_postings=cfg.skinny_postings, topk_mode=cfg.topk_mode,
                     hash_tokens=cfg.hash_tokens,

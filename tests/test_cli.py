@@ -45,3 +45,27 @@ def test_cli_run_reference_contract(tmp_path):
     with open(out_dir / "predictions.csv") as f:
         header = f.readline().strip().split(",")
     assert {"a_id", "b_id", "label", "prob_class1"} <= set(header)
+
+
+def test_cli_d1_recipe_real_dataset(tmp_path):
+    """The reference's d1 settings (clean=True, QGram=4, dice, reverse) as
+    ONE CLI invocation over the committed fodors-zagats dataset, with the
+    RF matcher and per-attribute features — the 'switch to this repo and
+    run your dataset' contract. Measured 0.893 (pipeline-test regime with
+    its own split/checkpoint layout measures 0.90)."""
+    import pytest
+
+    d1 = Path("/root/reference/datasets/d1_fodors_zagats")
+    if not d1.exists():
+        pytest.skip("reference datasets not present")
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "ertransfer_spark.cli", "run", str(d1), str(out_dir),
+         "--clean", "--qgram", "4", "--metric", "dice", "--reverse",
+         "--k", "5", "--algorithm", "rf",
+         "--attrs", "name,phone_number,street", "--cpus", "8"],
+        capture_output=True, text=True, cwd=str(REPO), timeout=500,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary["f1"] >= 0.85, summary

@@ -53,24 +53,16 @@ def _load(spark, name):
 
 def _canon(df, side, clean):
     """canonicalize_table + a_/b_ id namespacing (tableA and tableB share
-    the same 0-based id space) + the clean=True stopword/stem path using
-    the vendored Porter2 stemmer — the reference's actual
+    the same 0-based id space). ``clean=True`` is canonicalize_table's own
+    stopword + vendored-Porter2 path — the reference's actual
     SnowballStemmer('english') semantics (splitter.py:16-19), which
     diverges from the fast pinned stripper on 7.9% of d1 token
     occurrences (analysis in SURVEY §8)."""
-    from ertransfer_spark.functions.porter2 import snowball_stem_tokens
-    from ertransfer_spark.functions.text import remove_stopwords
     from ertransfer_spark.operators.canonicalize import canonicalize_table
 
-    rec = canonicalize_table(df, id_col="id").withColumn(
+    return canonicalize_table(df, id_col="id", clean=clean).withColumn(
         "conv_id", F.concat(F.lit(f"{side}_"), F.col("conv_id"))
     )
-    if clean:
-        cleaned = snowball_stem_tokens(remove_stopwords(F.col("tokens")))
-        rec = rec.withColumn("tokens", cleaned).withColumn(
-            "agValue", F.array_join(cleaned, " ")
-        ).withColumn("token_set", F.array_distinct(cleaned))
-    return rec
 
 
 def _pipeline_f1(spark, ra, rb, golden, cand, raw=None, attrs=None, algorithm="rf",
