@@ -10,7 +10,9 @@ dataset directory and gets the same artifact kinds back:
     python -m ertransfer_spark.cli run <dataset_dir> <out_dir> \
         [--k 5] [--algorithm logreg|gbt|rf|dt|svm|linreg|nb|unsupervised] \
         [--clustering umc|ec] [--threshold T] \
-        [--qgram N] [--reverse] [--clean] [--tfidf [--tfidf-max-df N]] \
+        [--qgram N [--no-multiset]] [--max-token-df N] \
+        [--reverse | --direction fwd|rev|union] [--clean] \
+        [--tfidf [--tfidf-max-df N]] \
         [--attrs name,phone] [--attr-extra num:price,ovl:name] [--cpus N]
 
 The reference's own dataset recipes become single invocations, e.g. d1
@@ -57,8 +59,19 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--qgram", type=int, default=None,
                      help="block on agValue q-grams of this size instead of "
                           "--tokens (the reference splitter's QGram=N configs)")
+    run.add_argument("--no-multiset", action="store_true",
+                     help="distinct q-gram sets instead of multisets "
+                          "(settings.py multiset=False, the d5-d7/d10 recipes)")
+    run.add_argument("--max-token-df", type=int, default=None,
+                     help="drop blocking tokens above this document frequency "
+                          "(stop-token quadratic-blowup guard; required for "
+                          "long-prose sides like d5-d7 abstracts)")
     run.add_argument("--reverse", action="store_true",
                      help="spend the K budget on the larger B side (J3)")
+    run.add_argument("--direction", choices=["fwd", "rev", "union"], default=None,
+                     help="top-K budget side; union = K per node on BOTH "
+                          "sides (pyJedAI graph pruning — the d10 recipe); "
+                          "supersedes --reverse")
     run.add_argument("--clean", action="store_true",
                      help="stopword removal + Snowball (Porter2) stemming "
                           "before blocking (the reference's clean=True)")
@@ -124,7 +137,9 @@ def cmd_run(args) -> int:
         clustering=args.clustering, threshold=args.threshold,
         tokens_col=args.tokens, tfidf=args.tfidf, tfidf_max_df=args.tfidf_max_df,
         attrs=attrs, attr_extra=attr_extra,
-        qgram=args.qgram, reverse=args.reverse,
+        qgram=args.qgram, qgram_multiset=not args.no_multiset,
+        max_token_df=args.max_token_df, reverse=args.reverse,
+        direction=args.direction,
     )
     pipe = ERPipeline(spark, str(out / "snapshots"), cfg)
 

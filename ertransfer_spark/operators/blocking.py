@@ -86,6 +86,7 @@ def top_k_token_join(
     skinny_postings: bool = False,
     topk_mode: str = "window",
     reverse: bool = False,
+    direction: str | None = None,
 ) -> DataFrame:
     """Top-K similarity join → (a_id, b_id, overlap, a_size, b_size, sim).
 
@@ -125,7 +126,22 @@ def top_k_token_join(
     reference's build-side switch (splitters/KNN-Join/splitter.py:54-71,
     179-181, auto when |A| < |B|). Spark picks its own physical build side
     regardless; this only controls which side the K-budget applies to.
+
+    ``direction`` supersedes ``reverse`` when given: ``"fwd"`` (K per
+    A-record), ``"rev"`` (K per B-record), or ``"union"`` — K per record on
+    BOTH sides, union of the two candidate sets. Union is pyJedAI's actual
+    TopKJoin pruning (it keeps K neighbors per NODE of the bipartite
+    similarity graph, both datasets' entities), and it shares the expensive
+    token-join + pair aggregation: only the final top-K pass runs twice,
+    over the same ``scored`` pairs, so it costs ~one extra window/agg —
+    not a second join. Needed where the two schemas disagree on which side
+    is informative (d10: A-side fragments rank poorly from B but fine
+    from A).
     """
+    if direction is not None:
+        if direction not in ("fwd", "rev", "union"):
+            raise ValueError(f"direction must be fwd|rev|union, got {direction!r}")
+        reverse = direction == "rev"
     if reverse:
         swapped = top_k_token_join(
             records_b, records_a, k=k, metric=metric, id_col=id_col,
@@ -245,34 +261,49 @@ def top_k_token_join(
     if min_sim > 0.0:
         scored = scored.filter(F.col("sim") >= min_sim)
     out_cols = ["a_id", "b_id", "overlap", "a_size", "b_size", "sim"]
-    if topk_mode == "agg":
-        item = F.struct(
-            (-F.col("sim")).alias("_ns"),
-            F.col("b_id").alias("b_id"),
-            F.col("overlap").alias("overlap"),
-            F.col("a_size").alias("a_size"),
-            F.col("b_size").alias("b_size"),
-            F.col("sim").alias("sim"),
+
+    def _topk(key: str, other: str) -> DataFrame:
+        # K best per `key` record, deterministic tie-break (sim DESC,
+        # other-id ASC). Both top-K passes read the SAME `scored` lineage;
+        # in union mode the token join + pair agg subplan is identical in
+        # the two branches, so Spark's ReuseExchange serves the second pass
+        # from the first's shuffle output.
+        if topk_mode == "agg":
+            item = F.struct(
+                (-F.col("sim")).alias("_ns"),
+                F.col(other).alias(other),
+                F.col("overlap").alias("overlap"),
+                F.col("a_size").alias("a_size"),
+                F.col("b_size").alias("b_size"),
+                F.col("sim").alias("sim"),
+            )
+            topped = scored.groupBy(key).agg(
+                F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_top")
+            )
+            e = topped.select(key, F.explode("_top").alias("_t"))
+            return e.select(
+                key,
+                F.col(f"_t.{other}").alias(other),
+                F.col("_t.overlap").alias("overlap"),
+                F.col("_t.a_size").alias("a_size"),
+                F.col("_t.b_size").alias("b_size"),
+                F.col("_t.sim").alias("sim"),
+            ).select(*out_cols)
+        w = Window.partitionBy(key).orderBy(F.desc("sim"), F.asc(other))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+            .select(*out_cols)
         )
-        topped = scored.groupBy("a_id").agg(
-            F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_top")
-        )
-        e = topped.select("a_id", F.explode("_top").alias("_t"))
-        return e.select(
-            "a_id",
-            F.col("_t.b_id").alias("b_id"),
-            F.col("_t.overlap").alias("overlap"),
-            F.col("_t.a_size").alias("a_size"),
-            F.col("_t.b_size").alias("b_size"),
-            F.col("_t.sim").alias("sim"),
-        )
-    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
-        .select(*out_cols)
-    )
+
+    if direction == "union":
+        # duplicate (a,b) rows from the two passes are identical — same
+        # overlap/size/sim computed from the same pair agg
+        return _topk("a_id", "b_id").unionByName(
+            _topk("b_id", "a_id")
+        ).dropDuplicates(["a_id", "b_id"])
+    return _topk("a_id", "b_id")
 
 
 def block_histogram(records: DataFrame, tokens_col: str = "token_set") -> DataFrame:

@@ -50,7 +50,12 @@ class PipelineConfig:
     tokens_col: str = "shingle_set"  # blocking token column from canonicalize
     qgram: int | None = None         # block on agValue q-grams instead of
                                      # tokens_col (reference splitter QGram=N)
+    qgram_multiset: bool = True      # settings.py 'multiset' switch: False →
+                                     # distinct-gram sets (d5-d7/d10 recipes)
     reverse: bool = False            # K budget on the larger B side (J3)
+    direction: str | None = None     # fwd|rev|union; supersedes reverse —
+                                     # union = K per node on BOTH sides
+                                     # (pyJedAI graph pruning; d10 recipe)
     salt: int = 4                    # posting-join salt (hot-token spread)
     salt_hot_product: int | None = 65536  # salt only output-explosive tokens
     skinny_postings: bool = True     # (token, id) posting rows; sizes post-agg
@@ -148,12 +153,14 @@ class ERPipeline:
                     # of the canonical blob (settings.py per-dataset config)
                     from ertransfer_spark.functions.text import qgrams
 
-                    qg = qgrams(F.col("agValue"), q=cfg.qgram, multiset=True)
+                    qg = qgrams(F.col("agValue"), q=cfg.qgram,
+                                multiset=cfg.qgram_multiset)
                     ba, bb = ra.withColumn("qg", qg), rb.withColumn("qg", qg)
-                    tok_col, multiset = "qg", True
+                    tok_col, multiset = "qg", cfg.qgram_multiset
                 cand = top_k_token_join(
                     ba, bb, k=cfg.k, metric=cfg.metric, tokens_col=tok_col,
-                    multiset=multiset, reverse=cfg.reverse, salt=cfg.salt,
+                    multiset=multiset, reverse=cfg.reverse,
+                    direction=cfg.direction, salt=cfg.salt,
                     salt_hot_product=cfg.salt_hot_product,
                     skinny_postings=cfg.skinny_postings, topk_mode=cfg.topk_mode,
                     hash_tokens=cfg.hash_tokens,
@@ -255,7 +262,14 @@ class ERPipeline:
         result = {"matched_pairs": matched, "clusters": clusters, "predictions": preds}
         if golden is not None:
             metrics = pairwise_metrics(matched, golden)
-            metrics.update(evaluate_predictions(preds))
+            # classifier-level (0.5-cutoff) diagnostics are namespaced so they
+            # can't clobber the pairwise precision/recall/f1 — the reported
+            # headline MUST be the clustering-vs-golden numbers (caught live:
+            # d12 via CLI printed clf recall 0.093 while the actual pairwise
+            # F1 of the same run was 0.449)
+            metrics.update(
+                {f"clf_{k}": v for k, v in evaluate_predictions(preds).items()}
+            )
             mdf = self.spark.createDataFrame(
                 [
                     {

@@ -1,0 +1,207 @@
+"""END-TO-END pipeline evaluation on every reference dataset that commits
+BOTH tables + golden matches (d1-d8, d10, d12; d9/d11 lack tableB.csv).
+
+Regime: load tableA/tableB/matches.csv, canonicalize, block per the
+reference's own splitter recipe (/root/reference/splitters/KNN-Join/
+settings.py:1-12 — clean/QGram/multiset/similarity/reverse; K raised to 5
+because a trained matcher consumes the candidates rather than taking the
+top-1 directly), train the reference-default RF matcher on a stratified
+split of the labeled candidates, score, UMC-cluster, pairwise F1 vs the
+committed golden matches.
+
+Usage: python scripts/exp_pipeline_all.py [d5 d8 ...]   (default: all)
+
+Measured 2026-08-18 (local[8], recipes below, re-verified in one run):
+  d1 0.90  d2 0.82  d3 0.69  d4 0.99          (pinned in tests since r4)
+  d5 0.903 (block recall 0.929)  d6 0.799 (br 0.918)  d7 0.771 (br 0.981)
+  d8 0.736 (br 0.993 — amazon-walmart is the curated hard case; published
+            classical baselines run ~0.33-0.65)
+  d10 0.651 (br 0.664 vs a ~0.73 textual ceiling — see the recipe note;
+             union-direction word-token blocking, 98.8 s vs 357.5 s q-gram)
+  d12 0.489 (br 0.794; 68 golden matches over 4346x3001 — extreme label
+             scarcity is the regime, not a bug; matcher-split F1 is 0.905)
+Floors for d5-d8/d12 are pinned in tests/test_reference_datasets.py.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+DATASETS = Path("/root/reference/datasets")
+
+# settings.py recipes (recall level 0.90), plus matcher attrs per schema.
+# qgram=None → word-token blocking (d4's adaptation: a 2-gram vocabulary is
+# ~1.3k symbols so every posting is hot; token cosine + df cap is the
+# Spark-first equivalent — see tests/test_reference_datasets.py d4 note).
+RECIPES = {
+    "d1_fodors_zagats": dict(clean=True, qgram=4, multiset=True, metric="dice",
+                             k=5, reverse=True,
+                             attrs=["name", "phone_number", "street"]),
+    "d2_abt_buy": dict(clean=True, qgram=3, multiset=True, metric="cosine", k=4,
+                       attrs=["name", "description", "price"],
+                       extra=[("num", "price"), ("ovl", "name")], tfidf=True),
+    "d3_amazon_google": dict(clean=True, qgram=5, multiset=True, metric="cosine",
+                             k=26, reverse=True,
+                             attrs=["title", "description", "manufacturer", "price"],
+                             extra=[("num", "price"), ("ovl", "title")], tfidf=True),
+    "d4_dblp_acm": dict(clean=False, qgram=None, metric="cosine", k=5,
+                        max_token_df=500),
+    # d5-d7 sides carry long prose columns (dbpedia abstracts): common
+    # 5-grams of English text have df ~ corpus/2, so an uncapped posting
+    # join is quadratic (measured: single hot partition, >10 min at 5k x 6k).
+    # The df cap is the Spark-first analog of the reference's prefix-filter
+    # KNN; stop-gram removal costs little recall on near-duplicate pairs.
+    # K raised to 10 (matcher consumes candidates); cap=1000 beats 2000 on
+    # BOTH recall and wall (stop-grams add noise neighbors, not signal).
+    # episode/season NUMERIC distances are the strong discriminators on the
+    # TV-episode entities (d5 0.894 -> 0.903).
+    "d5_imdb_tmdb": dict(clean=False, qgram=5, multiset=False, metric="cosine",
+                         k=10, max_token_df=1000,
+                         attrs=["title", "name", "episodeNumber", "seasonNumber"],
+                         extra=[("num", "episodeNumber"), ("num", "seasonNumber"),
+                                ("ovl", "title")]),
+    "d6_imdb_tvdb": dict(clean=False, qgram=5, multiset=False, metric="cosine",
+                         k=10, max_token_df=1000, tfidf=True,
+                         attrs=["title", "name", "episodeNumber", "seasonNumber"],
+                         extra=[("num", "episodeNumber"), ("num", "seasonNumber"),
+                                ("ovl", "title"), ("qg3", "name")]),
+    "d7_tmdb_tvdb": dict(clean=False, qgram=5, multiset=False, metric="cosine",
+                         k=10, max_token_df=1000,
+                         attrs=["title", "name", "abstract", "episodeNumber",
+                                "seasonNumber", "releaseDate"],
+                         extra=[("num", "episodeNumber"), ("num", "seasonNumber"),
+                                ("ovl", "title"), ("ovl", "abstract"),
+                                ("qg3", "name"), ("qg3", "releaseDate")]),
+    "d8_amazon_walmart": dict(clean=True, qgram=4, multiset=True, metric="cosine",
+                              k=5, reverse=True,
+                              attrs=["title", "modelno", "price", "brand"],
+                              extra=[("num", "price"), ("ovl", "title")],
+                              tfidf=True),
+    # d10 recall CEILING is textual-overlap-bound, not a recipe problem:
+    # 26.7% of the 22,148 golden pairs share ZERO word tokens (A rows have
+    # NaN titles + a different cast member than B's single actor/director;
+    # foreign retitles like "Terminal Station"/"Stazione Termini"), so no
+    # token blocker exceeds ~0.73. Sweep (exp_d10_sweep.py): q-grams cost
+    # 10x the wall of word tokens for IDENTICAL recall; k=20 single-dir
+    # 0.626, k=20 union 0.664 (exp_d10_union.py) ≈ 0.91 of reachable pairs.
+    # The committed d10 split is random-negative (recall 1.0 by
+    # construction) — the reference's own KNN recall on d10 is unpublished.
+    "d10_imdb_dbpedia": dict(clean=False, qgram=None, metric="cosine",
+                             k=20, direction="union", max_token_df=4000,
+                             attrs=["title"], extra=[("ovl", "title")]),
+    # d12 has no settings.py entry (it enters the reference via the
+    # DeepMatcher split only); word-token jaccard is the sane default.
+    "d12_beeradvo_ratebeer": dict(clean=False, qgram=None, metric="jaccard", k=5,
+                                  attrs=["Beer_Name", "Brew_Factory_Name",
+                                         "Style", "ABV"],
+                                  extra=[("num", "ABV"), ("ovl", "Beer_Name")]),
+}
+
+
+def pipeline_eval(spark, name: str, algorithm: str = "rf") -> dict:
+    """Full pipeline on one dataset; returns pairwise metrics + block recall."""
+    from pyspark.sql import functions as F
+
+    from ertransfer_spark.functions.text import qgrams
+    from ertransfer_spark.operators.blocking import top_k_token_join
+    from ertransfer_spark.operators.canonicalize import canonicalize_table
+    from ertransfer_spark.operators.clustering import (
+        best_threshold,
+        pairwise_metrics,
+        unique_mapping_clusters,
+    )
+    from ertransfer_spark.operators.labeling import attach_labels, stratified_split
+    from ertransfer_spark.operators.matcher import (
+        FEATURES,
+        attach_pair_text,
+        attr_features,
+        featurize,
+        score,
+        tfidf_cosine,
+        train_matcher,
+    )
+    from ertransfer_spark.sources.normalizer import (
+        read_csv_normalized,
+        read_matches_normalized,
+    )
+
+    r = RECIPES[name]
+    d = DATASETS / name
+    a = read_csv_normalized(spark, str(d / "tableA.csv"))
+    b = read_csv_normalized(spark, str(d / "tableB.csv"))
+    golden = read_matches_normalized(spark, str(d / "matches.csv")).select(
+        F.concat(F.lit("a_"), F.col("tableA_id")).alias("a_id"),
+        F.concat(F.lit("b_"), F.col("tableB_id")).alias("b_id"),
+    ).localCheckpoint()
+
+    def canon(df, side):
+        rec = canonicalize_table(df, id_col="id", clean=r["clean"]).withColumn(
+            "conv_id", F.concat(F.lit(f"{side}_"), F.col("conv_id"))
+        )
+        if r.get("qgram"):
+            rec = rec.withColumn(
+                "qg", qgrams(F.col("agValue"), q=r["qgram"],
+                             multiset=r.get("multiset", False))
+            )
+        return rec.localCheckpoint()
+
+    ra, rb = canon(a, "a"), canon(b, "b")
+    cand = top_k_token_join(
+        ra, rb, k=r["k"], metric=r["metric"],
+        tokens_col="qg" if r.get("qgram") else "token_set",
+        multiset=bool(r.get("qgram")) and r.get("multiset", False),
+        reverse=r.get("reverse", False), direction=r.get("direction"),
+        max_token_df=r.get("max_token_df"),
+        salt=4, salt_hot_product=65536, skinny_postings=True,
+    )
+
+    labeled = attach_labels(cand, golden).localCheckpoint()
+    n_golden = golden.count()
+    block_recall = labeled.filter("label = 1").count() / max(n_golden, 1)
+
+    feats = featurize(attach_pair_text(labeled, ra, rb))
+    feature_cols = None
+    if r.get("attrs"):
+        attrs = [c for c in r["attrs"] if c in a.columns and c in b.columns]
+        pa = a.select(F.concat(F.lit("a_"), F.col("id")).alias("id"), *attrs)
+        pb = b.select(F.concat(F.lit("b_"), F.col("id")).alias("id"), *attrs)
+        feats, names = attr_features(feats, pa, pb, attrs,
+                                     extra=r.get("extra", ()))
+        feature_cols = FEATURES + names
+    if r.get("tfidf"):
+        feats = tfidf_cosine(feats, ra, rb)
+        feature_cols = (feature_cols or FEATURES) + ["tfidf_cos"]
+    feats = feats.localCheckpoint()
+    model = train_matcher(stratified_split(feats)["train"], algorithm=algorithm,
+                          feature_cols=feature_cols)
+    preds = score(model, feats).localCheckpoint()
+    out = unique_mapping_clusters(preds, best_threshold(preds))
+    m = pairwise_metrics(out, golden)
+    m["block_recall"] = round(block_recall, 4)
+    return m
+
+
+def main():
+    from ertransfer_spark.session import get_spark
+
+    names = sys.argv[1:] or sorted(RECIPES)
+    names = [next(k for k in RECIPES if k.startswith(n)) if not (DATASETS / n).exists()
+             else n for n in names]
+    spark = get_spark("exp-pipeline-all", cpus=8, shuffle_partitions=16)
+    for name in names:
+        t0 = time.time()
+        m = pipeline_eval(spark, name)
+        m["dataset"] = name
+        m["sec"] = round(time.time() - t0, 1)
+        print(json.dumps(m))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

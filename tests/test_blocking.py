@@ -110,6 +110,28 @@ def test_reverse_join_orientation(records):
     assert f == r
 
 
+def test_union_direction_is_fwd_union_rev(records):
+    """direction='union' = K per node on BOTH sides (pyJedAI TopKJoin's
+    actual graph pruning): pair set must equal fwd ∪ rev exactly, with
+    per-pair sims unchanged, in both topk_modes."""
+    kw = dict(k=3, metric="cosine")
+    fwd = top_k_token_join(records[0], records[1], **kw).toPandas()
+    rev = top_k_token_join(
+        records[0], records[1], direction="rev", **kw
+    ).toPandas()
+    want = set(zip(fwd["a_id"], fwd["b_id"])) | set(zip(rev["a_id"], rev["b_id"]))
+    for mode in ("window", "agg"):
+        uni = top_k_token_join(
+            records[0], records[1], direction="union", topk_mode=mode, **kw
+        ).toPandas()
+        assert not uni.duplicated(["a_id", "b_id"]).any()
+        assert set(zip(uni["a_id"], uni["b_id"])) == want
+    sims = {(r.a_id, r.b_id): r.sim for r in fwd.itertuples(index=False)}
+    for r in uni.itertuples(index=False):
+        if (r.a_id, r.b_id) in sims:
+            assert abs(r.sim - sims[(r.a_id, r.b_id)]) < 1e-12
+
+
 def test_pair_serialization_templates(spark):
     from ertransfer_spark.functions.text import instruction_template, serialize_pair
 
