@@ -219,6 +219,23 @@ def q_topk_token_join(spark, sf_dir):
     )
 
 
+def q_topk_union_join(spark, sf_dir):
+    """J1/J3 union direction (top_k_token_join(direction='union')): top-3
+    per A-record ∪ top-3 per B-record — pyJedAI TopKJoin's per-node graph
+    pruning, both sides budgeted. Ranked on rounded jaccard, id tie-breaks;
+    duplicate (a,b) rows from the two passes are identical, so the distinct
+    is a pure set union."""
+    s = _scored_pairs(spark, sf_dir)
+    wa = Window.partitionBy("a_id").orderBy(F.desc("sim_r"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("sim_r"), F.asc("a_id"))
+    ta = s.withColumn("rk", F.row_number().over(wa)).filter(F.col("rk") <= 3)
+    tb = s.withColumn("rk", F.row_number().over(wb)).filter(F.col("rk") <= 3)
+    cols = ["a_id", "b_id", "overlap", "a_size", "b_size", "sim_r"]
+    return ta.select(*cols).unionByName(tb.select(*cols)).dropDuplicates(
+        ["a_id", "b_id"]
+    )
+
+
 def q_reciprocal_top1(spark, sf_dir):
     """W3/A3/A4 (exact clustering): mutual-best pairs above threshold."""
     s = _scored_pairs(spark, sf_dir).filter(F.col("sim_r") > EC_THRESHOLD)
@@ -824,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_stats": q_tokenize_stats,
         "qgram_profile": q_qgram_profile,
         "topk_token_join": q_topk_token_join,
+        "topk_union_join": q_topk_union_join,
         "snm_blocking": q_snm_blocking,
         "reciprocal_top1": q_reciprocal_top1,
         "threshold_sweep": q_threshold_sweep,
@@ -911,6 +929,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim_r DESC, b_id) AS rk
               FROM scored
             ) WHERE rk <= 5
+        """,
+        "topk_union_join": SQL_SCORED + """
+            SELECT DISTINCT a_id, b_id, overlap, a_size, b_size, sim_r FROM (
+              SELECT *,
+                row_number() OVER (PARTITION BY a_id ORDER BY sim_r DESC, b_id) AS rka,
+                row_number() OVER (PARTITION BY b_id ORDER BY sim_r DESC, a_id) AS rkb
+              FROM scored
+            ) WHERE rka <= 3 OR rkb <= 3
         """,
         "snm_blocking": f"""
             WITH tk AS (
