@@ -1,5 +1,6 @@
-"""END-TO-END pipeline evaluation on every reference dataset that commits
-BOTH tables + golden matches (d1-d8, d10, d12; d9/d11 lack tableB.csv).
+"""END-TO-END pipeline evaluation on ALL 12 reference datasets (d9/d11
+commit no tableB.csv — it is reconstructed from the pair splits' inline
+attributes; see pipeline_eval).
 
 Regime: load tableA/tableB/matches.csv, canonicalize, block per the
 reference's own splitter recipe (/root/reference/splitters/KNN-Join/
@@ -16,8 +17,13 @@ Measured 2026-08-18 (local[8], recipes below, re-verified in one run):
   d5 0.903 (block recall 0.929)  d6 0.799 (br 0.918)  d7 0.771 (br 0.981)
   d8 0.736 (br 0.993 — amazon-walmart is the curated hard case; published
             classical baselines run ~0.33-0.65)
+  d9 0.984 (br 0.997 — reconstructed tableB, word-token cosine k=10)
   d10 0.651 (br 0.664 vs a ~0.73 textual ceiling — see the recipe note;
              union-direction word-token blocking, 98.8 s vs 357.5 s q-gram)
+  d11 0.250 (br 0.826; the d12 regime squared: 132 golden over 6907x9282,
+             golden pairs span DIFFERENT remixes while candidate
+             distractors are other versions of the same song; 0.22-0.26
+             across k/feature configs; matcher-split F1 is 0.99)
   d12 0.489 (br 0.794; 68 golden matches over 4346x3001 — extreme label
              scarcity is the regime, not a bug; matcher-split F1 is 0.905)
 Floors for d5-d8/d12 are pinned in tests/test_reference_datasets.py.
@@ -95,6 +101,23 @@ RECIPES = {
     "d10_imdb_dbpedia": dict(clean=False, qgram=None, metric="cosine",
                              k=20, direction="union", max_token_df=4000,
                              attrs=["title"], extra=[("ovl", "title")]),
+    # d9/d11 reconstruct tableB from the split inline attrs (see
+    # pipeline_eval). d9's settings.py row is qgram=4/reverse/cosine;
+    # word tokens measured equal-or-better recall at a fraction of the
+    # wall on every text dataset (d10 note), so the recipe uses them.
+    "d9_dblp_scholar": dict(clean=False, qgram=None, metric="cosine",
+                            k=10, reverse=True, max_token_df=2000,
+                            attrs=["title", "authors", "venue", "year"],
+                            extra=[("num", "year"), ("ovl", "title"),
+                                   ("qg3", "authors")], tfidf=True),
+    "d11_itunes_amazon": dict(clean=False, qgram=None, metric="cosine",
+                              k=10, reverse=True, tfidf=True,
+                              attrs=["Song_Name", "Artist_Name", "Album_Name",
+                                     "Time", "Released", "Price"],
+                              extra=[("num", "Price"), ("ovl", "Song_Name"),
+                                     ("qg3", "Song_Name"), ("qg3", "Time"),
+                                     ("qg3", "Released"),
+                                     ("qg3", "Album_Name")]),
     # d12 has no settings.py entry (it enters the reference via the
     # DeepMatcher split only); word-token jaccard is the sane default.
     "d12_beeradvo_ratebeer": dict(clean=False, qgram=None, metric="jaccard", k=5,
@@ -134,7 +157,25 @@ def pipeline_eval(spark, name: str, algorithm: str = "rf") -> dict:
     r = RECIPES[name]
     d = DATASETS / name
     a = read_csv_normalized(spark, str(d / "tableA.csv"))
-    b = read_csv_normalized(spark, str(d / "tableB.csv"))
+    if (d / "tableB.csv").exists():
+        b = read_csv_normalized(spark, str(d / "tableB.csv"))
+    else:
+        # d9/d11 commit no tableB.csv — reconstruct it from the committed
+        # pair splits' INLINE attributes (verified: every golden B id
+        # appears there and attr values are consistent per id). Caveat,
+        # pinned in the test docstring too: the reconstructed corpus is
+        # only the splits' B records (golden partners + random negatives),
+        # so blocking faces fewer distractors than the reference's full
+        # tableB; treat the result as coverage, not a published benchmark.
+        from ertransfer_spark.sources.normalizer import read_pair_split
+
+        parts = [
+            read_pair_split(spark, str(d / f), prefix_ids=False)[2]
+            for f in ("train.csv", "test.csv")
+        ]
+        b = parts[0].unionByName(parts[1], allowMissingColumns=True).dropDuplicates(
+            ["id"]
+        )
     golden = read_matches_normalized(spark, str(d / "matches.csv")).select(
         F.concat(F.lit("a_"), F.col("tableA_id")).alias("a_id"),
         F.concat(F.lit("b_"), F.col("tableB_id")).alias("b_id"),

@@ -241,12 +241,17 @@ def test_matcher_on_committed_splits(spark, name, floor):
     assert m["f1"] >= floor, (name, m)
 
 
-# End-to-end pipeline on the remaining datasets that commit BOTH tables +
-# golden (d9/d11 lack tableB.csv — matcher-split regime above is their
-# coverage). Recipes + measured values live in scripts/exp_pipeline_all.py;
-# floors sit just under the 2026-08-18 local[8] measurements:
-# d5 0.903, d6 0.799, d7 0.771, d8 0.736, d10 0.651, d12 0.489 (68 golden —
-# the extreme-label-scarcity regime; its matcher-split F1 is 0.905).
+# End-to-end pipeline on the remaining datasets. d9/d11 commit no
+# tableB.csv — pipeline_eval reconstructs it from the pair splits' inline
+# attributes (every golden B id appears there with consistent attr values;
+# the negatives corpus is the splits' random sample, so blocking faces
+# fewer distractors than the reference's full tableB — coverage, not a
+# published benchmark). Recipes + measured values live in
+# scripts/exp_pipeline_all.py; floors sit just under the 2026-08-18
+# local[8] measurements:
+# d5 0.903, d6 0.799, d7 0.771, d8 0.736, d9 0.984 (block recall 0.997),
+# d10 0.651, d11 0.250, d12 0.489 (d11/d12 are the extreme-label-scarcity
+# regime — 132 and 68 golden; their matcher-split F1s are 0.99 and 0.905).
 @pytest.mark.parametrize(
     "name,floor",
     [
@@ -254,12 +259,18 @@ def test_matcher_on_committed_splits(spark, name, floor):
         ("d6_imdb_tvdb", 0.75),
         ("d7_tmdb_tvdb", 0.72),
         ("d8_amazon_walmart", 0.68),
+        ("d9_dblp_scholar", 0.95),
         # d10's blocking recall is textual-overlap-CEILING-bound at ~0.73
         # (26.7% of golden pairs share zero word tokens: NaN titles, foreign
         # retitles, disjoint cast lists — analysis in exp_pipeline_all.py);
         # union-direction k=20 reaches 0.664 ≈ 0.91 of reachable pairs,
         # measured F1 0.651
         ("d10_imdb_dbpedia", 0.60),
+        # d11 is the d12 regime squared: 132 golden over 6907×9282, golden
+        # pairs span DIFFERENT remixes (durations differ) while candidate
+        # distractors are other versions of the same song — measured 0.25
+        # at k=10 (0.22-0.26 across feature configs); matcher-split is 0.99
+        ("d11_itunes_amazon", 0.15),
         ("d12_beeradvo_ratebeer", 0.40),
     ],
 )
