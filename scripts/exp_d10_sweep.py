@@ -1,8 +1,16 @@
 """Block-recall sweep for d10 (imdb-dbpedia, 26k x 23k, 22k matches).
 
-The committed recipe (qgram=4, k=5, reverse, cap=4000) measured block
-recall 0.559 — far under the reference's 0.90 recall level. Sweep the
-blocking knobs cheaply (recall only, no matcher) to find the recipe.
+The settings.py recipe (qgram=4, k=5, reverse, cap=4000) measured block
+recall 0.559 — far under the reference's 0.90 recall-level label. Sweep
+the blocking knobs cheaply (recall only, no matcher).
+
+CONCLUSION (2026-08-18, /tmp/d10_sweep.log): recall is ceiling-bound, not
+knob-bound — 26.7% of golden pairs share ZERO word tokens (measured in
+exp_pipeline_all.py's d10 note), so ~0.73 is the max for ANY token
+blocker. q-grams: k=5 0.559 (673 s) / k=20 0.632 (1039 s). Word tokens:
+k=5 0.557 (72 s) / k=20 0.626 (72 s) — identical recall at 10x less wall.
+Union direction (exp_d10_union.py) adds ~0.04: k=20 union 0.664 ≈ 0.91 of
+reachable pairs → the pinned recipe.
 """
 
 from __future__ import annotations

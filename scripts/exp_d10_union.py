@@ -5,6 +5,11 @@ entities keep K neighbors), so the candidate set is the union of both
 directions — not the single-direction budget our reverse flag picks.
 Measures word-token cosine (q-grams measured identical recall at 10x the
 wall in exp_d10_sweep.py).
+
+CONCLUSION (2026-08-18, /tmp/d10_union.log): fwd k=5 0.585 / union k=5
+0.613 / union k=10 0.639 / union k=20 0.664 (757k candidates, 110 s).
+Union landed as top_k_token_join(direction="union") — one shared pair
+agg, two top-K passes.
 """
 
 from __future__ import annotations
