@@ -268,9 +268,10 @@ def top_k_token_join(
         # This is deliberately NOT unionByName(topk_a, topk_b): union
         # re-analysis gives the second branch fresh expression ids, which
         # defeats exchange reuse, so that form re-runs the whole token join
-        # + pair agg (measured 1.5x a single-direction join on d10; this
-        # form costs ~one extra exchange+sort). topk_mode is ignored here —
-        # the two-window plan IS the union-mode physical strategy.
+        # + pair agg. Controlled same-process A/B on d10 (k=20, 757k
+        # candidate rows, 2 rounds): two-window 39.5-43.8 s vs unionByName
+        # 57.5-59.1 s. topk_mode is ignored here — the two-window plan IS
+        # the union-mode physical strategy.
         wa = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
         wb = Window.partitionBy("b_id").orderBy(F.desc("sim"), F.asc("a_id"))
         return (
