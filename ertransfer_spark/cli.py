@@ -87,8 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
                           "jaccard each), e.g. --attrs name,phone_number,street")
     run.add_argument("--attr-extra", default=None,
                      help="extra per-attribute feature kinds as kind:attr pairs "
-                          "(kinds: num, ovl, qg3), e.g. "
-                          "--attr-extra num:price,ovl:name")
+                          "(kinds: num, ovl, qg3, date), e.g. "
+                          "--attr-extra num:price,ovl:name,date:released")
     run.add_argument("--cpus", type=int, default=None)
     run.add_argument("--no-resume", action="store_true")
     return p

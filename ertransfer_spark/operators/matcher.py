@@ -33,6 +33,18 @@ FEATURES = [f for f in FEATURE_NAMES if f != "prefix_sim"]
 # first number in a normalized attr value (attr_features kind="num")
 _NUM_RE = r"([0-9]+(?:\.[0-9]+)?)"
 
+# formats observed across the reference datasets' date-ish attributes
+# (d11 Released: '27-May-11' vs 'June 23 , 2015'); try_to_date returns
+# NULL on mismatch, so the coalesce chain is safe under ANSI mode
+_DATE_FMTS = (
+    "d-MMM-yy",
+    "MMMM d , yyyy",
+    "MMM d , yyyy",
+    "MMMM d, yyyy",
+    "yyyy-MM-dd",
+    "M/d/yyyy",
+)
+
 
 def attach_pair_text(
     pairs: DataFrame,
@@ -119,6 +131,10 @@ def attr_features(
       quoted inside a long description (Magellan's overlap_coeff).
     - ``("qg3", c)`` → ``{c}_qg3``: 3-gram set Jaccard — misspelling
       robustness where word-level Jaccard is all-or-nothing.
+    - ``("date", c)`` → ``{c}_date``: 1 - min(|days apart|/365, 1) on the
+      RAW values parsed through the ``_DATE_FMTS`` chain (d11's two sides
+      write '27-May-11' vs 'May 27 , 2015' — string similarity is blind
+      to equal dates across formats), 0 when either side doesn't parse.
 
     Measured on the reference's hard textual datasets (d3 amazon-google
     end-to-end, scripts/exp_hard_textual.py): baseline 0.618 →
@@ -128,13 +144,19 @@ def attr_features(
     from ertransfer_spark.functions.text import distinct_tokens, normalize
 
     for kind, c in extra:
-        if kind not in ("num", "ovl", "qg3"):
+        if kind not in ("num", "ovl", "qg3", "date"):
             raise ValueError(f"unknown extra feature kind {kind!r}")
         if c not in attrs:
             raise ValueError(f"extra feature {kind!r} on {c!r}: not in attrs {attrs}")
-    # "num" parses the RAW value (normalize turns '12.99' into '12 99',
-    # truncating decimals); ship it pre-extracted as one double per side
+    # "num" and "date" parse the RAW value (normalize turns '12.99' into
+    # '12 99' and '27-May-11' into '27 may 11'); ship them pre-extracted as
+    # one double/date per side
     num_attrs = sorted({c for k, c in extra if k == "num"})
+    date_attrs = sorted({c for k, c in extra if k == "date"})
+
+    def _date_parse(col):
+        s = F.trim(col.cast("string"))
+        return F.coalesce(*[F.try_to_date(s, f) for f in _DATE_FMTS])
     sa = records_a.select(
         F.col(id_col).alias("a_id"),
         *[normalize(F.col(c).cast("string")).alias(f"_a_{c}") for c in attrs],
@@ -143,6 +165,7 @@ def attr_features(
             .cast("double").alias(f"_a_{c}_num")
             for c in num_attrs
         ],
+        *[_date_parse(F.col(c)).alias(f"_a_{c}_date") for c in date_attrs],
     )
     sb = records_b.select(
         F.col(id_col).alias("b_id"),
@@ -152,6 +175,7 @@ def attr_features(
             .cast("double").alias(f"_b_{c}_num")
             for c in num_attrs
         ],
+        *[_date_parse(F.col(c)).alias(f"_b_{c}_date") for c in date_attrs],
     )
     out = pairs.join(sa, "a_id").join(sb, "b_id")
     names: list[str] = []
@@ -191,6 +215,13 @@ def attr_features(
 
             qa, qb = qgrams(a_, q=3, multiset=False), qgrams(b_, q=3, multiset=False)
             expr = F.coalesce(jaccard(qa, qb), F.lit(0.0))
+        elif kind == "date":
+            da, db = F.col(f"_a_{c}_date"), F.col(f"_b_{c}_date")
+            both_date = da.isNotNull() & db.isNotNull()
+            expr = F.when(
+                both_date,
+                1.0 - F.least(F.abs(F.datediff(da, db)) / F.lit(365.0), F.lit(1.0)),
+            ).otherwise(F.lit(0.0))
         else:
             raise ValueError(f"unknown extra feature kind {kind!r}")
         out = out.withColumn(f"{c}_{kind}", expr)
@@ -198,6 +229,8 @@ def attr_features(
     return out.drop(
         *[f"_a_{c}" for c in attrs], *[f"_b_{c}" for c in attrs],
         *[f"_a_{c}_num" for c in num_attrs], *[f"_b_{c}_num" for c in num_attrs],
+        *[f"_a_{c}_date" for c in date_attrs],
+        *[f"_b_{c}_date" for c in date_attrs],
     ), names
 
 

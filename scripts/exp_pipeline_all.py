@@ -116,7 +116,7 @@ RECIPES = {
                                      "Time", "Released", "Price"],
                               extra=[("num", "Price"), ("ovl", "Song_Name"),
                                      ("qg3", "Song_Name"), ("qg3", "Time"),
-                                     ("qg3", "Released"),
+                                     ("date", "Released"),
                                      ("qg3", "Album_Name")]),
     # d12 has no settings.py entry (it enters the reference via the
     # DeepMatcher split only); word-token jaccard is the sane default.

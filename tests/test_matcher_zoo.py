@@ -162,6 +162,38 @@ def test_attr_features_extra_kinds(spark):
     assert t["price_num"] == 0.0 and t["name_ovl"] == 0.0 and t["name_qg3"] == 0.0
 
 
+def test_attr_features_date_kind(spark):
+    """("date", c): cross-format parsed-date distance — equal dates written
+    in different formats score 1.0 (string similarity is blind to this,
+    d11's Released columns), nearby dates score 1 - days/365, unparseable
+    sides fall back to 0."""
+    import pytest as _pt
+
+    from ertransfer_spark.operators.matcher import attr_features
+
+    a = spark.createDataFrame(
+        [("a1", "27-May-11"), ("a2", "10-Jul-15"), ("a3", "no date here")],
+        "id string, Released string",
+    )
+    b = spark.createDataFrame(
+        [("b1", "May 27 , 2011"), ("b2", "June 23 , 2015"), ("b3", "2011-05-27")],
+        "id string, Released string",
+    )
+    pairs = spark.createDataFrame(
+        [("a1", "b1"), ("a1", "b3"), ("a2", "b2"), ("a3", "b3")],
+        "a_id string, b_id string",
+    )
+    out, names = attr_features(
+        pairs, a, b, ["Released"], extra=[("date", "Released")]
+    )
+    assert names[-1] == "Released_date"
+    rows = {(r["a_id"], r["b_id"]): r["Released_date"] for r in out.collect()}
+    assert rows[("a1", "b1")] == _pt.approx(1.0)   # same date, two formats
+    assert rows[("a1", "b3")] == _pt.approx(1.0)   # same date, ISO format
+    assert rows[("a2", "b2")] == _pt.approx(1.0 - 17 / 365.0)
+    assert rows[("a3", "b3")] == 0.0               # a-side unparseable
+
+
 def test_attr_features_extra_unknown_kind_raises(spark):
     from ertransfer_spark.operators.matcher import attr_features
 
