@@ -69,3 +69,22 @@ def test_cli_d1_recipe_real_dataset(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     summary = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
     assert summary["f1"] >= 0.85, summary
+
+
+def test_cli_flag_to_config_plumbing():
+    """Parser → PipelineConfig mapping for the newer knobs (no Spark):
+    --direction/--no-multiset/--max-token-df/--attr-extra reach the config
+    the CLI builds — a regression net for flag wiring, since the end-to-end
+    CLI tests above only exercise the d1 recipe's subset."""
+    from ertransfer_spark.cli import build_parser
+
+    p = build_parser()
+    args = p.parse_args(
+        ["run", "in", "out", "--qgram", "5", "--no-multiset",
+         "--max-token-df", "1000", "--direction", "union",
+         "--attr-extra", "num:price,date:released", "--attrs", "price,released"]
+    )
+    assert args.qgram == 5 and args.no_multiset
+    assert args.max_token_df == 1000 and args.direction == "union"
+    attr_extra = tuple(tuple(x.split(":", 1)) for x in args.attr_extra.split(","))
+    assert attr_extra == (("num", "price"), ("date", "released"))
