@@ -28,6 +28,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 HEADLINE = [
     # the ER core: blocking join, matching, clustering
     "topk_token_join",
+    "topk_union_join",
+    "attr_pair_features",
+    "tfidf_pair_cosine",
     "reciprocal_top1",
     "threshold_sweep",
     "umc_greedy",

@@ -66,12 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="drop blocking tokens above this document frequency "
                           "(stop-token quadratic-blowup guard; required for "
                           "long-prose sides like d5-d7 abstracts)")
-    run.add_argument("--reverse", action="store_true",
-                     help="spend the K budget on the larger B side (J3)")
-    run.add_argument("--direction", choices=["fwd", "rev", "union"], default=None,
-                     help="top-K budget side; union = K per node on BOTH "
-                          "sides (pyJedAI graph pruning — the d10 recipe); "
-                          "supersedes --reverse")
+    side = run.add_mutually_exclusive_group()
+    side.add_argument("--reverse", action="store_true",
+                      help="spend the K budget on the larger B side (J3)")
+    side.add_argument("--direction", choices=["fwd", "rev", "union"], default=None,
+                      help="top-K budget side; union = K per node on BOTH "
+                           "sides (pyJedAI graph pruning — the d10 recipe)")
     run.add_argument("--clean", action="store_true",
                      help="stopword removal + Snowball (Porter2) stemming "
                           "before blocking (the reference's clean=True)")
@@ -125,6 +125,10 @@ def cmd_run(args) -> int:
 
     ra = canonicalize_table(ta, clean=args.clean).cache()
     rb = canonicalize_table(tb, clean=args.clean).cache()
+
+    if args.no_multiset and args.qgram is None:
+        print("warning: --no-multiset has no effect without --qgram "
+              "(multiset vs set only applies to q-gram blocking)", file=sys.stderr)
 
     attrs = tuple(s.strip() for s in args.attrs.split(",")) if args.attrs else ()
     attr_extra = ()

@@ -156,11 +156,39 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7)
     return j
 
 
+def _rapidfuzz_jw():
+    """Return rapidfuzz's JaroWinkler.similarity ONLY if it is value-identical
+    to the pure-Python implementation on a fixed probe set (exact equality).
+    rapidfuzz is a C++ implementation of the same published algorithm, so on
+    boxes that carry it this cuts the scoring stage's Python time; the probe
+    guards against any variant semantics (e.g. a missing 0.7 boost threshold)
+    silently changing matcher features."""
+    try:
+        from rapidfuzz.distance import JaroWinkler
+    except ImportError:
+        return None
+    probes = [
+        ("", ""), ("a", ""), ("martha", "marhta"), ("dwayne", "duane"),
+        ("dixon", "dicksonx"), ("abcdef", "abcdef"), ("ab", "ba"),
+        ("prefix match long", "prefix match lung"), ("x", "y"),
+        ("the quick brown fox", "the quick brown fix"),
+        ("low sim", "entirely different"), ("aaaa", "aaab"),
+    ]
+    fn = JaroWinkler.similarity
+    if all(fn(x, y) == jaro_winkler(x, y) for x, y in probes):
+        return fn
+    return None
+
+
+_RF_JW = _rapidfuzz_jw()
+
+
 @F.pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     av = a.fillna("")
     bv = b.fillna("")
-    return pd.Series([jaro_winkler(x, y) for x, y in zip(av, bv)], index=a.index)
+    fn = _RF_JW or jaro_winkler
+    return pd.Series([fn(x, y) for x, y in zip(av, bv)], index=a.index)
 
 
 # --------------------------------------------------------------------------
@@ -182,6 +210,7 @@ FEATURE_NAMES = [
 def _pair_features_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     import numpy as np
 
+    jw_fn = _RF_JW or jaro_winkler
     out = []
     for x, y in zip(a.fillna(""), b.fillna("")):
         tx, ty = set(x.split()), set(y.split())
@@ -198,7 +227,7 @@ def _pair_features_batch(a: pd.Series, b: pd.Series) -> pd.Series:
             lev = 1.0 - _levenshtein_capped(x, y, cap=256) / float(max(min(lx, 256), min(ly, 256), 1))
         else:
             lev = 1.0
-        jw = jaro_winkler(x[:64], y[:64])
+        jw = jw_fn(x[:64], y[:64])
         lr = min(lx, ly) / ml if ml else 1.0
         pfx = 0
         for ca, cb in zip(x[:16], y[:16]):

@@ -35,7 +35,10 @@ _NUM_RE = r"([0-9]+(?:\.[0-9]+)?)"
 
 # formats observed across the reference datasets' date-ish attributes
 # (d11 Released: '27-May-11' vs 'June 23 , 2015'); try_to_date returns
-# NULL on mismatch, so the coalesce chain is safe under ANSI mode
+# NULL on mismatch, so the coalesce chain is safe under ANSI mode.
+# Slash dates are assumed US-ordered (M/d/yyyy): an ambiguous '3/4/2011'
+# parses as March 4. If a day-first dataset shows up, pass a custom chain
+# via attr_features(date_fmts=...) rather than editing this default.
 _DATE_FMTS = (
     "d-MMM-yy",
     "MMMM d , yyyy",
@@ -93,6 +96,7 @@ def attr_features(
     attrs: list[str],
     id_col: str = "id",
     extra: tuple = (),
+    date_fmts: tuple = _DATE_FMTS,
 ) -> tuple[DataFrame, list[str]]:
     """Magellan-style PER-ATTRIBUTE similarity features — the reference's
     auto-feature generation operates attribute-by-attribute
@@ -156,7 +160,7 @@ def attr_features(
 
     def _date_parse(col):
         s = F.trim(col.cast("string"))
-        return F.coalesce(*[F.try_to_date(s, f) for f in _DATE_FMTS])
+        return F.coalesce(*[F.try_to_date(s, f) for f in date_fmts])
     sa = records_a.select(
         F.col(id_col).alias("a_id"),
         *[normalize(F.col(c).cast("string")).alias(f"_a_{c}") for c in attrs],

@@ -259,3 +259,27 @@ def test_tfidf_cosine_max_df_cap(spark):
     # vocab; a2/b2 share nothing below the cap → 0
     assert out[("a1", "b1")] == pytest.approx(1.0)
     assert out[("a2", "b2")] == 0.0
+
+
+def test_rapidfuzz_guard_parity():
+    """The rapidfuzz fast path is import-guarded by an exact-equality probe
+    (_rapidfuzz_jw): it may only be active when value-identical to the
+    pure-Python jaro_winkler. When rapidfuzz is absent the guard returns
+    None and the fallback runs; when present, assert full parity on a
+    broader vector than the probe set (tolerance 0 — same algorithm)."""
+    from ertransfer_spark.functions.similarity import _RF_JW, _rapidfuzz_jw, jaro_winkler
+
+    assert _rapidfuzz_jw() == _RF_JW  # deterministic guard
+    try:
+        from rapidfuzz.distance import JaroWinkler
+    except ImportError:
+        assert _RF_JW is None
+        pytest.skip("rapidfuzz not installed — fallback path in use")
+    if _RF_JW is None:
+        pytest.skip("rapidfuzz present but diverges from pinned algorithm; fallback in use")
+    import itertools
+    words = ["", "a", "ab", "martha", "marhta", "dwayne", "duane", "jones",
+             "johnson", "massey", "massie", "abroms", "abrams", "prefix one",
+             "prefix two", "the quick brown fox jumps", "entirely unrelated"]
+    for x, y in itertools.product(words, repeat=2):
+        assert JaroWinkler.similarity(x, y) == jaro_winkler(x, y), (x, y)
