@@ -236,6 +236,36 @@ def q_topk_union_join(spark, sf_dir):
     )
 
 
+def q_topk_rare_union(spark, sf_dir):
+    """J1 + rare-token pass-through (r5): union top-3 per node PLUS any
+    pair sharing a shingle with combined df_a+df_b ≤ 20 — the
+    ``keep_rare_df`` keep-rule that recovers rank-dropped rare-evidence
+    pairs (lifted d10_imdb_dbpedia blocking recall 0.664 → 0.721 of a
+    0.737 content ceiling). Unlike the other blocking oracles this one
+    calls the REAL operator (``top_k_token_join``) end-to-end — skinny
+    postings, xxhash64 posting keys, targeted salt, union windows, rare
+    flag — so the DuckDB oracle checks the operator itself, not an
+    inline re-expression."""
+    from ertransfer_spark.operators.blocking import top_k_token_join
+
+    d = _doc_shingles(spark, sf_dir)
+    ra = d.filter(F.col("id") % 2 == 0)
+    rb = d.filter(F.col("id") % 2 == 1)
+    out = top_k_token_join(
+        ra, rb, k=3, metric="jaccard", id_col="id", tokens_col="s",
+        direction="union", max_token_df=MAX_GRAM_DF, keep_rare_df=20,
+        skinny_postings=True, hash_tokens=True, salt=2,
+        salt_hot_product=65536,
+    )
+    return out.select(
+        "a_id", "b_id",
+        F.col("overlap").cast("long").alias("overlap"),
+        F.col("a_size").cast("long").alias("a_size"),
+        F.col("b_size").cast("long").alias("b_size"),
+        F.round("sim", 6).alias("sim_r"),
+    )
+
+
 def q_reciprocal_top1(spark, sf_dir):
     """W3/A3/A4 (exact clustering): mutual-best pairs above threshold."""
     s = _scored_pairs(spark, sf_dir).filter(F.col("sim_r") > EC_THRESHOLD)
@@ -842,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qgram_profile": q_qgram_profile,
         "topk_token_join": q_topk_token_join,
         "topk_union_join": q_topk_union_join,
+        "topk_rare_union": q_topk_rare_union,
         "snm_blocking": q_snm_blocking,
         "reciprocal_top1": q_reciprocal_top1,
         "threshold_sweep": q_threshold_sweep,
@@ -937,6 +968,41 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY b_id ORDER BY sim_r DESC, a_id) AS rkb
               FROM scored
             ) WHERE rka <= 3 OR rkb <= 3
+        """,
+        "topk_rare_union": f"""
+            WITH tk AS (
+              SELECT CAST(doc_id AS BIGINT) AS id, {TOKS_DUCK} AS ts FROM documents
+            ), shd AS (
+              SELECT id, {BIGRAMS_DUCK} AS s FROM tk
+            ), sa0 AS (
+              SELECT id AS a_id, len(s) AS a_sz, unnest(s) AS g FROM shd WHERE id % 2 = 0
+            ), sb0 AS (
+              SELECT id AS b_id, len(s) AS b_sz, unnest(s) AS g FROM shd WHERE id % 2 = 1
+            ), dfx AS (
+              SELECT da.g, da.dfa, db.dfb
+              FROM (SELECT g, count(*) AS dfa FROM sa0 GROUP BY g) da
+              JOIN (SELECT g, count(*) AS dfb FROM sb0 GROUP BY g) db USING (g)
+              WHERE da.dfa <= {MAX_GRAM_DF} AND db.dfb <= {MAX_GRAM_DF}
+            ), sa AS (
+              SELECT sa0.*, (dfx.dfa + dfx.dfb <= 20) AS rare
+              FROM sa0 JOIN dfx USING (g)
+            ), sb AS (
+              SELECT sb0.* FROM sb0 JOIN dfx USING (g)
+            ), pr AS (
+              SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS overlap,
+                     any_value(a_sz) AS a_sz, any_value(b_sz) AS b_sz,
+                     max(CASE WHEN rare THEN 1 ELSE 0 END) AS has_rare
+              FROM sa JOIN sb USING (g) GROUP BY a_id, b_id
+            ), rk AS (
+              SELECT *, overlap / (a_sz + b_sz - overlap) AS sim,
+                row_number() OVER (PARTITION BY a_id ORDER BY overlap/(a_sz+b_sz-overlap) DESC, b_id) AS rka,
+                row_number() OVER (PARTITION BY b_id ORDER BY overlap/(a_sz+b_sz-overlap) DESC, a_id) AS rkb
+              FROM pr
+            )
+            SELECT a_id, b_id, overlap,
+                   CAST(a_sz AS BIGINT) AS a_size, CAST(b_sz AS BIGINT) AS b_size,
+                   round(sim, 6) AS sim_r
+            FROM rk WHERE rka <= 3 OR rkb <= 3 OR has_rare = 1
         """,
         "snm_blocking": f"""
             WITH tk AS (

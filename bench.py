@@ -29,6 +29,7 @@ HEADLINE = [
     # the ER core: blocking join, matching, clustering
     "topk_token_join",
     "topk_union_join",
+    "topk_rare_union",
     "attr_pair_features",
     "tfidf_pair_cosine",
     "reciprocal_top1",

@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--no-multiset", action="store_true",
                      help="distinct q-gram sets instead of multisets "
                           "(settings.py multiset=False, the d5-d7/d10 recipes)")
+    run.add_argument("--keep-rare-df", type=int, default=None,
+                     help="rare-token pass-through: keep any pair sharing a "
+                          "token with combined df_a+df_b <= N regardless of "
+                          "top-K rank (recovers rank-dropped rare-evidence "
+                          "pairs; df-bounded candidate volume)")
     run.add_argument("--max-token-df", type=int, default=None,
                      help="drop blocking tokens above this document frequency "
                           "(stop-token quadratic-blowup guard; required for "
@@ -142,7 +147,8 @@ def cmd_run(args) -> int:
         tokens_col=args.tokens, tfidf=args.tfidf, tfidf_max_df=args.tfidf_max_df,
         attrs=attrs, attr_extra=attr_extra,
         qgram=args.qgram, qgram_multiset=not args.no_multiset,
-        max_token_df=args.max_token_df, reverse=args.reverse,
+        max_token_df=args.max_token_df, keep_rare_df=args.keep_rare_df,
+        reverse=args.reverse,
         direction=args.direction,
     )
     pipe = ERPipeline(spark, str(out / "snapshots"), cfg)

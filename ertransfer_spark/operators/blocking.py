@@ -87,6 +87,7 @@ def top_k_token_join(
     topk_mode: str = "window",
     reverse: bool = False,
     direction: str | None = None,
+    keep_rare_df: int | None = None,
 ) -> DataFrame:
     """Top-K similarity join → (a_id, b_id, overlap, a_size, b_size, sim).
 
@@ -137,6 +138,25 @@ def top_k_token_join(
     filter — ~one extra exchange+sort over a single-direction join, not a
     second join. Needed where the two schemas disagree on which side is
     informative (d10: A-side fragments rank poorly from B but fine from A).
+
+    ``keep_rare_df`` adds a rare-token PASS-THROUGH keep-rule: any pair
+    sharing at least one token with combined document frequency
+    df_a + df_b ≤ keep_rare_df is kept regardless of its top-K rank.
+    Top-K ranking loses golden pairs whose only shared evidence is a rare
+    token when distractor pairs share many common tokens (measured on
+    d10_imdb_dbpedia: union k=20 recall 0.664 of golden vs a 0.737
+    reachable ceiling). A rare token is cheap by construction — a token
+    with df_a+df_b ≤ T contributes at most (T/2)² join-output pairs, so
+    the channel's candidate volume is df-bounded the same way
+    ``max_token_df`` bounds the head (the two knobs cap opposite tails).
+    Fused into the SAME single pass (the r4 union lesson: no second
+    branch, no unionByName): the rare flag rides the posting rows through
+    the token join, the pair agg picks it up as one extra ``max`` column,
+    and the keep filter ORs it in. Supported with ``direction`` and the
+    window topk_mode; with ``topk_mode='agg'`` the slice(k) physical form
+    cannot express the OR, so the call falls back to the window form.
+    Rarity is measured on the posting lists AFTER ``max_token_df`` /
+    ``posting_budget`` pruning (identical when those caps are inactive).
     """
     if direction is not None:
         if direction not in ("fwd", "rev", "union"):
@@ -149,6 +169,7 @@ def top_k_token_join(
             posting_budget=posting_budget, min_sim=min_sim, salt=salt,
             salt_hot_product=salt_hot_product, hash_tokens=hash_tokens,
             skinny_postings=skinny_postings, topk_mode=topk_mode, reverse=False,
+            keep_rare_df=keep_rare_df,
         )
         return swapped.select(
             F.col("b_id").alias("a_id"),
@@ -206,6 +227,24 @@ def top_k_token_join(
         pa = pa.join(F.broadcast(keep), "token")
         pb = pb.join(F.broadcast(keep), "token")
 
+    if keep_rare_df:
+        # rare-token pass-through flag: token present on BOTH sides with
+        # combined df ≤ keep_rare_df. The rare set is the vocabulary's long
+        # tail — NOT broadcastable at scale — so it joins onto the A-side
+        # postings by token (sort-merge, co-partitioned with the main join
+        # when unsalted); one extra posting-width exchange, opt-in.
+        kdfa = pa.groupBy("token").agg(F.count(F.lit(1)).alias("_kdfa"))
+        kdfb = pb.groupBy("token").agg(F.count(F.lit(1)).alias("_kdfb"))
+        rare = (
+            kdfa.join(kdfb, "token")
+            .filter(F.col("_kdfa") + F.col("_kdfb") <= keep_rare_df)
+            .select("token")
+            .withColumn("_rare", F.lit(1))
+        )
+        pa = pa.join(rare, "token", "left").withColumn(
+            "_rare", F.coalesce(F.col("_rare"), F.lit(0))
+        )
+
     if salt > 1 and salt_hot_product:
         # targeted skew split: replicate B postings ONLY for tokens whose
         # join-output product dfa·dfb exceeds the budget. Cold tokens join
@@ -245,8 +284,11 @@ def top_k_token_join(
         overlap = F.sum(F.least(F.col("a_cnt"), F.col("b_cnt")))
     else:
         overlap = F.count(F.lit(1))
+    rare_agg = [F.max("_rare").alias("_has_rare")] if keep_rare_df else []
     if skinny:
-        pairs = joined.groupBy("a_id", "b_id").agg(overlap.alias("overlap"))
+        pairs = joined.groupBy("a_id", "b_id").agg(
+            overlap.alias("overlap"), *rare_agg
+        )
         pairs = pairs.join(F.broadcast(sizes_a), "a_id").join(
             F.broadcast(sizes_b), "b_id"
         )
@@ -255,6 +297,7 @@ def top_k_token_join(
             overlap.alias("overlap"),
             F.first("a_size").alias("a_size"),
             F.first("b_size").alias("b_size"),
+            *rare_agg,
         )
     sim = overlap_to_sim(metric, F.col("overlap"), F.col("a_size"), F.col("b_size"))
     scored = pairs.withColumn("sim", sim)
@@ -274,16 +317,28 @@ def top_k_token_join(
         # the union-mode physical strategy.
         wa = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
         wb = Window.partitionBy("b_id").orderBy(F.desc("sim"), F.asc("a_id"))
+        keep = (F.col("_rka") <= k) | (F.col("_rkb") <= k)
+        if keep_rare_df:
+            keep = keep | (F.col("_has_rare") == 1)
         return (
             scored.withColumn("_rka", F.row_number().over(wa))
             .withColumn("_rkb", F.row_number().over(wb))
-            .filter((F.col("_rka") <= k) | (F.col("_rkb") <= k))
+            .filter(keep)
             .select(*out_cols)
         )
 
     def _topk(key: str, other: str) -> DataFrame:
         # K best per `key` record, deterministic tie-break (sim DESC,
         # other-id ASC)
+        if keep_rare_df:
+            # slice(k) in agg mode cannot express the rare OR — window form
+            w = Window.partitionBy(key).orderBy(F.desc("sim"), F.asc(other))
+            return (
+                scored.withColumn("_rk", F.row_number().over(w))
+                .filter((F.col("_rk") <= k) | (F.col("_has_rare") == 1))
+                .drop("_rk")
+                .select(*out_cols)
+            )
         if topk_mode == "agg":
             item = F.struct(
                 (-F.col("sim")).alias("_ns"),

@@ -63,6 +63,9 @@ class PipelineConfig:
     hash_tokens: bool = False        # 8-byte posting keys (P[collision]≈n²/2⁶⁵)
     blocker: str = "token"           # token (J1) | vector (J2 feature-hash LSH)
     max_token_df: int | None = None
+    keep_rare_df: int | None = None  # rare-token pass-through keep-rule:
+                                     # pairs sharing a token with combined
+                                     # df ≤ N bypass the top-K rank filter
     posting_budget: int | None = None
     min_sim: float = 0.0
     algorithm: str = "logreg"
@@ -164,7 +167,8 @@ class ERPipeline:
                     salt_hot_product=cfg.salt_hot_product,
                     skinny_postings=cfg.skinny_postings, topk_mode=cfg.topk_mode,
                     hash_tokens=cfg.hash_tokens,
-                    max_token_df=cfg.max_token_df, posting_budget=cfg.posting_budget,
+                    max_token_df=cfg.max_token_df, keep_rare_df=cfg.keep_rare_df,
+                    posting_budget=cfg.posting_budget,
                     min_sim=cfg.min_sim,
                 )
             # per-block lineage from the token-frequency histogram

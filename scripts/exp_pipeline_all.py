@@ -18,8 +18,9 @@ Measured 2026-08-18 (local[8], recipes below, re-verified in one run):
   d8 0.736 (br 0.993 — amazon-walmart is the curated hard case; published
             classical baselines run ~0.33-0.65)
   d9 0.984 (br 0.997 — reconstructed tableB, word-token cosine k=10)
-  d10 0.651 (br 0.664 vs a ~0.73 textual ceiling — see the recipe note;
-             union-direction word-token blocking, 98.8 s vs 357.5 s q-gram)
+  d10 0.679 (r5: br 0.721 vs the 0.737 content ceiling via union +
+             keep_rare_df=100 rare-token pass-through — see recipe note;
+             r4 was 0.651 / br 0.664; 357.5 s q-gram ruled out earlier)
   d11 0.250 (br 0.826; the d12 regime squared: 132 golden over 6907x9282,
              golden pairs span DIFFERENT remixes while candidate
              distractors are other versions of the same song; 0.22-0.26
@@ -90,16 +91,23 @@ RECIPES = {
                               extra=[("num", "price"), ("ovl", "title")],
                               tfidf=True),
     # d10 recall CEILING is textual-overlap-bound, not a recipe problem:
-    # 26.7% of the 22,148 golden pairs share ZERO word tokens (A rows have
+    # 26.3% of the 22,148 golden pairs share ZERO word tokens (A rows have
     # NaN titles + a different cast member than B's single actor/director;
-    # foreign retitles like "Terminal Station"/"Stazione Termini"), so no
-    # token blocker exceeds ~0.73. Sweep (exp_d10_sweep.py): q-grams cost
-    # 10x the wall of word tokens for IDENTICAL recall; k=20 single-dir
-    # 0.626, k=20 union 0.664 (exp_d10_union.py) ≈ 0.91 of reachable pairs.
+    # foreign retitles like "Terminal Station"/"Stazione Termini") and sit
+    # at char-3-gram jaccard 0.0175 = noise floor, so NO content-based
+    # blocker (token, q-gram, OR token-derived embedding — feature-hashed
+    # vectors of disjoint token sets have expected cosine 0) exceeds the
+    # 0.737 reachable ceiling; full analysis in exp_d10_rare.py. Sweep:
+    # q-grams cost 10x the wall of word tokens for IDENTICAL recall
+    # (exp_d10_sweep.py); k=20 single-dir 0.626, k=20 union 0.664
+    # (exp_d10_union.py); + keep_rare_df=100 (rare-token pass-through,
+    # r5) 0.721 = 0.978 of ceiling, e2e F1 0.651→0.679 at +6% wall
+    # (T=200 gives br 0.725 but F1 0.672 and +43% wall — T=100 wins).
     # The committed d10 split is random-negative (recall 1.0 by
     # construction) — the reference's own KNN recall on d10 is unpublished.
     "d10_imdb_dbpedia": dict(clean=False, qgram=None, metric="cosine",
                              k=20, direction="union", max_token_df=4000,
+                             keep_rare_df=100,
                              attrs=["title"], extra=[("ovl", "title")]),
     # d9/d11 reconstruct tableB from the split inline attrs (see
     # pipeline_eval). d9's settings.py row is qgram=4/reverse/cosine;
@@ -199,6 +207,7 @@ def pipeline_eval(spark, name: str, algorithm: str = "rf") -> dict:
         multiset=bool(r.get("qgram")) and r.get("multiset", False),
         reverse=r.get("reverse", False), direction=r.get("direction"),
         max_token_df=r.get("max_token_df"),
+        keep_rare_df=r.get("keep_rare_df"),
         salt=4, salt_hot_product=65536, skinny_postings=True,
     )
 

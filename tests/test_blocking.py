@@ -142,3 +142,35 @@ def test_pair_serialization_templates(spark):
     ).collect()[0]
     assert row["p"] == "alpha [SEP] beta"
     assert row["i"] == "does alpha [SEP] matches with beta"
+
+
+def test_keep_rare_df_passthrough(spark):
+    """Rare-token pass-through (r5): a pair whose only shared evidence is a
+    rare token must survive even when it loses the top-K rank; the base
+    top-K set stays a subset; reverse orientation carries the rule."""
+    ra = spark.createDataFrame(
+        [("a1", ["x", "y", "zq"]), ("a2", ["x", "y"])],
+        "conv_id string, token_set array<string>",
+    )
+    rb = spark.createDataFrame(
+        [("b1", ["x", "y"]), ("b2", ["x", "y"]),
+         ("b9", ["x", "zq", "w", "v", "u"])],
+        "conv_id string, token_set array<string>",
+    )
+    for direction in (None, "union"):
+        kw = dict(k=1, metric="jaccard", direction=direction)
+        base = {(r.a_id, r.b_id)
+                for r in top_k_token_join(ra, rb, **kw).collect()}
+        rare = {(r.a_id, r.b_id)
+                for r in top_k_token_join(ra, rb, keep_rare_df=2, **kw).collect()}
+        # 'zq' has df_a=1, df_b=1 → df_sum=2 ≤ 2: (a1,b9) passes through
+        assert ("a1", "b9") in rare
+        assert base <= rare
+        # common-token pairs (x,y: df_sum 4-5 > 2) are NOT passed through:
+        # in fwd k=1, a2's only kept pair stays the rank-1 tie-break b1
+        if direction is None:
+            assert ("a2", "b2") not in rare
+    rev = {(r.a_id, r.b_id)
+           for r in top_k_token_join(ra, rb, k=1, metric="jaccard",
+                                     reverse=True, keep_rare_df=2).collect()}
+    assert ("a1", "b9") in rev

@@ -260,12 +260,14 @@ def test_matcher_on_committed_splits(spark, name, floor):
         ("d7_tmdb_tvdb", 0.72),
         ("d8_amazon_walmart", 0.68),
         ("d9_dblp_scholar", 0.95),
-        # d10's blocking recall is textual-overlap-CEILING-bound at ~0.73
-        # (26.7% of golden pairs share zero word tokens: NaN titles, foreign
-        # retitles, disjoint cast lists — analysis in exp_pipeline_all.py);
-        # union-direction k=20 reaches 0.664 ≈ 0.91 of reachable pairs,
-        # measured F1 0.651
-        ("d10_imdb_dbpedia", 0.60),
+        # d10's blocking recall is textual-overlap-CEILING-bound at 0.737
+        # (26.3% of golden pairs share zero word tokens ACROSS ALL ATTRS:
+        # NaN titles, foreign retitles, alias cast names — and those pairs
+        # sit at char-3-gram jaccard 0.0175, the noise floor, so NO
+        # content-based blocker reaches them; analysis in exp_d10_rare.py).
+        # union k=20 + keep_rare_df=100 (rare-token pass-through) reaches
+        # 0.721 ≈ 0.978 of the ceiling; measured F1 0.679 (was 0.651).
+        ("d10_imdb_dbpedia", 0.65),
         # d11 is the d12 regime squared: 132 golden over 6907×9282, golden
         # pairs span DIFFERENT remixes (durations differ) while candidate
         # distractors are other versions of the same song — measured 0.25
