@@ -69,6 +69,15 @@ class PipelineConfig:
     posting_budget: int | None = None
     min_sim: float = 0.0
     algorithm: str = "logreg"
+    local_train: bool = True         # logreg only: capped driver-IRLS fit
+                                     # (coefficients become plan literals)
+                                     # instead of Spark ML LBFGS, whose
+                                     # maxIter tree-aggregate jobs are a
+                                     # 10-200 s fixed floor that scales
+                                     # with nothing (BENCH.md r2; boundary
+                                     # parity in tests/test_scaling_path.py)
+    train_sample_cap: int = 100_000  # local-train deterministic hash-sample
+                                     # cap — bounds driver memory at any SF
     clustering: str = "umc"          # umc | ec
     threshold: float | None = None   # None → tuned via single-pass sweep
     split_weights: tuple = (0.6, 0.2, 0.2)
@@ -191,8 +200,11 @@ class ERPipeline:
 
         def _label():
             labeled = attach_labels(cand, golden)
-            n_match = labeled.agg(F.sum("label")).collect()[0][0] or 0
-            return labeled, [{"candidate_count": labeled.count(), "matches": int(n_match)}]
+            # one agg job for both lineage numbers (was count + sum = 2)
+            row = labeled.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("label").alias("m")
+            ).collect()[0]
+            return labeled, [{"candidate_count": int(row["n"]), "matches": int(row["m"] or 0)}]
 
         labeled = self._stage("labeled", _label, resume) if golden is not None else cand
 
@@ -223,10 +235,32 @@ class ERPipeline:
         def _predict():
             if golden is not None and cfg.algorithm != "unsupervised":
                 splits = stratified_split(labeled, cfg.split_weights, cfg.seed)
-                model = train_matcher(
-                    _featurize(splits["train"]), algorithm=cfg.algorithm,
-                    seed=cfg.seed, feature_cols=feature_cols,
-                )
+                train_pairs = splits["train"]
+                if cfg.algorithm == "logreg" and cfg.local_train:
+                    from ertransfer_spark.operators.matcher import (
+                        train_matcher_local,
+                    )
+
+                    # deterministic hash-sample cap (scaling_worker.py
+                    # recipe): the boundary estimate doesn't improve past
+                    # ~100k pairs, and the cap bounds the driver collect
+                    n_train = train_pairs.count()
+                    keep = max(1, n_train // cfg.train_sample_cap)
+                    if keep > 1:
+                        train_pairs = train_pairs.filter(
+                            F.pmod(
+                                F.xxhash64("a_id", "b_id", F.lit(999)),
+                                F.lit(keep),
+                            ) == 0
+                        )
+                    model = train_matcher_local(
+                        _featurize(train_pairs), feature_cols=feature_cols
+                    )
+                else:
+                    model = train_matcher(
+                        _featurize(train_pairs), algorithm=cfg.algorithm,
+                        seed=cfg.seed, feature_cols=feature_cols,
+                    )
                 preds = score(model, _featurize(labeled))
             else:
                 # no labels (or algorithm="unsupervised"): ZeroER-style GMM

@@ -271,7 +271,12 @@ def test_matcher_on_committed_splits(spark, name, floor):
         # d11 is the d12 regime squared: 132 golden over 6907×9282, golden
         # pairs span DIFFERENT remixes (durations differ) while candidate
         # distractors are other versions of the same song — measured 0.25
-        # at k=10 (0.22-0.26 across feature configs); matcher-split is 0.99
+        # at k=10 (0.22-0.26 across feature configs); matcher-split is 0.99.
+        # r5 ceiling proof (exp_d11_ceiling.py): only 86/132 golden partners
+        # are lexical rank-1; 46 are strictly dominated by a same-song
+        # distractor, so monotone-lexical matching + mutual-best caps recall
+        # ~0.65 before label scarcity enters; the date/price/duration
+        # tie-breakers are the attrs that DIFFER across remixes.
         ("d11_itunes_amazon", 0.15),
         ("d12_beeradvo_ratebeer", 0.40),
     ],
