@@ -13,7 +13,8 @@ dataset directory and gets the same artifact kinds back:
         [--qgram N [--no-multiset]] [--max-token-df N] \
         [--reverse | --direction fwd|rev|union] [--clean] \
         [--tfidf [--tfidf-max-df N]] \
-        [--attrs name,phone] [--attr-extra num:price,ovl:name] [--cpus N]
+        [--attrs name,phone] [--attr-extra num:price,ovl:name] \
+        [--train-params numTrees=100,maxDepth=16] [--cpus N]
 
 The reference's own dataset recipes become single invocations, e.g. d1
 (fodors-zagats, settings.py: clean=True QGram=4 dice reverse):
@@ -94,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="extra per-attribute feature kinds as kind:attr pairs "
                           "(kinds: num, ovl, qg3, date), e.g. "
                           "--attr-extra num:price,ovl:name,date:released")
+    run.add_argument("--train-params", default=None,
+                     help="estimator hyperparameter overrides as name=value "
+                          "pairs (ints/floats auto-coerced), e.g. "
+                          "--train-params numTrees=100,maxDepth=16")
     run.add_argument("--cpus", type=int, default=None)
     run.add_argument("--no-resume", action="store_true")
     return p
@@ -141,8 +146,24 @@ def cmd_run(args) -> int:
         attr_extra = tuple(
             tuple(pair.split(":", 1)) for pair in args.attr_extra.split(",")
         )
+    train_params = None
+    if args.train_params:
+        def _coerce(v):
+            for cast in (int, float):
+                try:
+                    return cast(v)
+                except ValueError:
+                    pass
+            return v
+
+        train_params = {
+            k: _coerce(v)
+            for k, v in (pair.split("=", 1)
+                         for pair in args.train_params.split(","))
+        }
     cfg = PipelineConfig(
         k=args.k, metric=args.metric, algorithm=args.algorithm,
+        train_params=train_params,
         clustering=args.clustering, threshold=args.threshold,
         tokens_col=args.tokens, tfidf=args.tfidf, tfidf_max_df=args.tfidf_max_df,
         attrs=attrs, attr_extra=attr_extra,

@@ -341,6 +341,7 @@ def train_matcher(
     impute: bool = False,
     standardize: bool = False,
     feature_cols: list[str] | None = None,
+    params: dict | None = None,
 ):
     """Fit one of the matcher zoo on the feature columns. Returns the
     fitted PipelineModel.
@@ -445,6 +446,10 @@ def train_matcher(
         )
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    if params:
+        # estimator hyperparameter overrides, e.g. {"numTrees": 100}
+        for k, v in params.items():
+            clf.set(clf.getParam(k), v)
     stages.append(clf)
     return Pipeline(stages=stages).fit(featurized_train)
 

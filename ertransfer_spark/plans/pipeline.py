@@ -78,6 +78,10 @@ class PipelineConfig:
                                      # parity in tests/test_scaling_path.py)
     train_sample_cap: int = 100_000  # local-train deterministic hash-sample
                                      # cap — bounds driver memory at any SF
+    train_params: dict | None = None  # estimator hyperparameter overrides,
+                                     # e.g. {"numTrees": 100, "maxDepth": 16}
+                                     # (RF capacity is the measured lever on
+                                     # hard-textual corpora: d3 0.70→0.79)
     clustering: str = "umc"          # umc | ec
     threshold: float | None = None   # None → tuned via single-pass sweep
     split_weights: tuple = (0.6, 0.2, 0.2)
@@ -236,7 +240,8 @@ class ERPipeline:
             if golden is not None and cfg.algorithm != "unsupervised":
                 splits = stratified_split(labeled, cfg.split_weights, cfg.seed)
                 train_pairs = splits["train"]
-                if cfg.algorithm == "logreg" and cfg.local_train:
+                if (cfg.algorithm == "logreg" and cfg.local_train
+                        and not cfg.train_params):
                     from ertransfer_spark.operators.matcher import (
                         train_matcher_local,
                     )
@@ -260,6 +265,7 @@ class ERPipeline:
                     model = train_matcher(
                         _featurize(train_pairs), algorithm=cfg.algorithm,
                         seed=cfg.seed, feature_cols=feature_cols,
+                        params=cfg.train_params,
                     )
                 preds = score(model, _featurize(labeled))
             else:

@@ -12,22 +12,26 @@ committed golden matches.
 
 Usage: python scripts/exp_pipeline_all.py [d5 d8 ...]   (default: all)
 
-Measured 2026-08-18 (local[8], recipes below, re-verified in one run):
-  d1 0.90  d2 0.82  d3 0.69  d4 0.99          (pinned in tests since r4)
+Measured 2026-08-19 r5 (local[8], recipes below; RF capacity raised to
+numTrees=100/maxDepth=16 on the HARD-TEXTUAL datasets — the default 50/8
+underfits the expanded per-attr+tfidf feature set there; the easy/structured
+datasets are capacity-flat (d1 0.899, d5 0.905, d6 0.803, d7 0.771,
+d9 0.988 measured at 100/16 = same as default within noise), so their
+recipes keep the default):
+  d1 0.90  d2 0.852 (was 0.823)  d3 0.788 (was 0.703)  d4 0.99
   d5 0.903 (block recall 0.929)  d6 0.799 (br 0.918)  d7 0.771 (br 0.981)
-  d8 0.736 (br 0.993 — amazon-walmart is the curated hard case; published
-            classical baselines run ~0.33-0.65)
+  d8 0.856 (was 0.736; br 0.993 — amazon-walmart is the curated hard case;
+            published classical baselines run ~0.33-0.65)
   d9 0.984 (br 0.997 — reconstructed tableB, word-token cosine k=10)
-  d10 0.679 (r5: br 0.721 vs the 0.737 content ceiling via union +
-             keep_rare_df=100 rare-token pass-through — see recipe note;
-             r4 was 0.651 / br 0.664; 357.5 s q-gram ruled out earlier)
-  d11 0.250 (br 0.826; the d12 regime squared: 132 golden over 6907x9282,
-             golden pairs span DIFFERENT remixes while candidate
-             distractors are other versions of the same song; 0.22-0.26
-             across k/feature configs; matcher-split F1 is 0.99)
-  d12 0.489 (br 0.794; 68 golden matches over 4346x3001 — extreme label
-             scarcity is the regime, not a bug; matcher-split F1 is 0.905)
-Floors for d5-d8/d12 are pinned in tests/test_reference_datasets.py.
+  d10 0.698 (was 0.679; br 0.721 vs the 0.737 content ceiling via union +
+             keep_rare_df=100 rare-token pass-through — see recipe note)
+  d11 0.268 (was 0.250; br 0.826; the d12 regime squared: 132 golden over
+             6907x9282, golden pairs span DIFFERENT remixes while candidate
+             distractors are other versions of the same song;
+             matcher-split F1 is 0.99)
+  d12 0.532 (was 0.489; br 0.794; 68 golden matches over 4346x3001 —
+             extreme label scarcity is the regime; matcher-split F1 0.905)
+Floors for d5-d8/d10-d12 are pinned in tests/test_reference_datasets.py.
 """
 
 from __future__ import annotations
@@ -52,11 +56,20 @@ RECIPES = {
                              attrs=["name", "phone_number", "street"]),
     "d2_abt_buy": dict(clean=True, qgram=3, multiset=True, metric="cosine", k=4,
                        attrs=["name", "description", "price"],
-                       extra=[("num", "price"), ("ovl", "name")], tfidf=True),
+                       extra=[("num", "price"), ("ovl", "name")], tfidf=True,
+                       train_params={"numTrees": 100, "maxDepth": 16}),
+    # d3 is fully rank-bound (zero unreachable golden pairs at k=26;
+    # exp_d3_rank.py) and the matcher is the binding stage: RF CAPACITY is
+    # the lever — numTrees=100/maxDepth=16 lifts e2e F1 0.703→0.788
+    # (precision 0.78→0.93) vs the default 50/8; d12/d16/d20 plateau at
+    # ~0.785, 300 shallow trees drop to 0.71. Union blocking k=26/50 lifts
+    # block recall (0.9165/0.9465) but NETS F1 down (0.70/0.64) — more
+    # confusable candidates overwhelm ranking (same lesson as r4).
     "d3_amazon_google": dict(clean=True, qgram=5, multiset=True, metric="cosine",
                              k=26, reverse=True,
                              attrs=["title", "description", "manufacturer", "price"],
-                             extra=[("num", "price"), ("ovl", "title")], tfidf=True),
+                             extra=[("num", "price"), ("ovl", "title")], tfidf=True,
+                             train_params={"numTrees": 100, "maxDepth": 16}),
     "d4_dblp_acm": dict(clean=False, qgram=None, metric="cosine", k=5,
                         max_token_df=500),
     # d5-d7 sides carry long prose columns (dbpedia abstracts): common
@@ -89,7 +102,8 @@ RECIPES = {
                               k=5, reverse=True,
                               attrs=["title", "modelno", "price", "brand"],
                               extra=[("num", "price"), ("ovl", "title")],
-                              tfidf=True),
+                              tfidf=True,
+                              train_params={"numTrees": 100, "maxDepth": 16}),
     # d10 recall CEILING is textual-overlap-bound, not a recipe problem:
     # 26.3% of the 22,148 golden pairs share ZERO word tokens (A rows have
     # NaN titles + a different cast member than B's single actor/director;
@@ -108,7 +122,8 @@ RECIPES = {
     "d10_imdb_dbpedia": dict(clean=False, qgram=None, metric="cosine",
                              k=20, direction="union", max_token_df=4000,
                              keep_rare_df=100,
-                             attrs=["title"], extra=[("ovl", "title")]),
+                             attrs=["title"], extra=[("ovl", "title")],
+                             train_params={"numTrees": 100, "maxDepth": 16}),
     # d9/d11 reconstruct tableB from the split inline attrs (see
     # pipeline_eval). d9's settings.py row is qgram=4/reverse/cosine;
     # word tokens measured equal-or-better recall at a fraction of the
@@ -125,13 +140,15 @@ RECIPES = {
                               extra=[("num", "Price"), ("ovl", "Song_Name"),
                                      ("qg3", "Song_Name"), ("qg3", "Time"),
                                      ("date", "Released"),
-                                     ("qg3", "Album_Name")]),
+                                     ("qg3", "Album_Name")],
+                              train_params={"numTrees": 100, "maxDepth": 16}),
     # d12 has no settings.py entry (it enters the reference via the
     # DeepMatcher split only); word-token jaccard is the sane default.
     "d12_beeradvo_ratebeer": dict(clean=False, qgram=None, metric="jaccard", k=5,
                                   attrs=["Beer_Name", "Brew_Factory_Name",
                                          "Style", "ABV"],
-                                  extra=[("num", "ABV"), ("ovl", "Beer_Name")]),
+                                  extra=[("num", "ABV"), ("ovl", "Beer_Name")],
+                                  train_params={"numTrees": 100, "maxDepth": 16}),
 }
 
 
@@ -229,7 +246,8 @@ def pipeline_eval(spark, name: str, algorithm: str = "rf") -> dict:
         feature_cols = (feature_cols or FEATURES) + ["tfidf_cos"]
     feats = feats.localCheckpoint()
     model = train_matcher(stratified_split(feats)["train"], algorithm=algorithm,
-                          feature_cols=feature_cols)
+                          feature_cols=feature_cols,
+                          params=r.get("train_params"))
     preds = score(model, feats).localCheckpoint()
     out = unique_mapping_clusters(preds, best_threshold(preds))
     m = pairwise_metrics(out, golden)

@@ -88,3 +88,28 @@ def test_cli_flag_to_config_plumbing():
     assert args.max_token_df == 1000 and args.direction == "union"
     attr_extra = tuple(tuple(x.split(":", 1)) for x in args.attr_extra.split(","))
     assert attr_extra == (("num", "price"), ("date", "released"))
+
+
+def test_cli_train_params_coercion():
+    """--train-params name=value pairs coerce ints/floats and reach the
+    parsed args (the cmd_run coercion mirrors this)."""
+    from ertransfer_spark.cli import build_parser
+
+    p = build_parser()
+    args = p.parse_args(
+        ["run", "in", "out", "--train-params",
+         "numTrees=100,maxDepth=16,subsamplingRate=0.8,impurity=entropy"]
+    )
+
+    def _coerce(v):
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return v
+
+    tp = {k: _coerce(v) for k, v in
+          (pair.split("=", 1) for pair in args.train_params.split(","))}
+    assert tp == {"numTrees": 100, "maxDepth": 16,
+                  "subsamplingRate": 0.8, "impurity": "entropy"}

@@ -96,6 +96,24 @@ def test_select_matcher_deterministic_folds(featurized):
     assert s1 == s2
 
 
+def test_train_matcher_params_override(featurized):
+    """params= sets estimator hyperparameters on the chosen algorithm
+    (e.g. RF capacity for hard-textual datasets); unknown names raise."""
+    splits = stratified_split(featurized)
+    model = train_matcher(
+        splits["train"], algorithm="rf",
+        params={"numTrees": 7, "maxDepth": 3},
+    )
+    rf = model.stages[-1]
+    assert rf.getNumTrees == 7 or rf.getOrDefault("numTrees") == 7
+    assert rf.getOrDefault("maxDepth") == 3
+    m = evaluate_predictions(score(model, featurized), threshold=0.5)
+    assert m["f1"] >= 0.9, m
+    with pytest.raises(Exception):
+        train_matcher(splits["train"], algorithm="rf",
+                      params={"noSuchParam": 1})
+
+
 def test_attr_features_presence_and_similarity(spark):
     """Per-attribute features: presence flags are explicit (not NaN), sims
     are 0 when either side is empty, and identical single-field records

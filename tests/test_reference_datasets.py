@@ -66,7 +66,7 @@ def _canon(df, side, clean):
 
 
 def _pipeline_f1(spark, ra, rb, golden, cand, raw=None, attrs=None, algorithm="rf",
-                 extra=(), tfidf=False):
+                 extra=(), tfidf=False, train_params=None):
     """Block → label → featurize (blob + optional per-attribute) → train
     the reference-default RF matcher → score → UMC-cluster → pairwise F1.
     ``raw=(a, b)`` with ``attrs`` adds Magellan-style per-attribute
@@ -76,7 +76,8 @@ def _pipeline_f1(spark, ra, rb, golden, cand, raw=None, attrs=None, algorithm="r
     per-attribute feature kinds ((num/ovl/qg3, attr) pairs) and
     ``tfidf=True`` adds the corpus-IDF-weighted token cosine — the two
     upgrades that lift the hard textual datasets (d2 0.78→0.82,
-    d3 0.62→0.69; scripts/exp_hard_textual.py)."""
+    d3 0.62→0.69; scripts/exp_hard_textual.py). ``train_params`` forwards
+    estimator hyperparameter overrides (d3's r5 lever: RF capacity)."""
     from ertransfer_spark.operators.clustering import (
         best_threshold,
         pairwise_metrics,
@@ -106,7 +107,8 @@ def _pipeline_f1(spark, ra, rb, golden, cand, raw=None, attrs=None, algorithm="r
         feature_cols = (feature_cols or FEATURES) + ["tfidf_cos"]
     feats = feats.localCheckpoint()
     model = train_matcher(
-        stratified_split(feats)["train"], algorithm=algorithm, feature_cols=feature_cols
+        stratified_split(feats)["train"], algorithm=algorithm,
+        feature_cols=feature_cols, params=train_params,
     )
     preds = score(model, feats).localCheckpoint()
     out = unique_mapping_clusters(preds, best_threshold(preds))
@@ -151,10 +153,11 @@ def test_d2_abt_buy_end_to_end(spark):
     """abt-buy — the hard TEXTUAL dataset (name/description blobs, no
     structured keys). Blocking per settings.py: clean=True, QGram=3,
     multiset cosine, K=4. With the numeric-price + name-overlap +
-    TF-IDF-cosine features: measured 0.823 (p=0.98, r=0.71) — for
-    context, the published classical (Magellan) baseline on abt-buy's
-    curated benchmark split is ~0.43-0.61; the 1:1 UMC clustering
-    constraint buys most of the precision here."""
+    TF-IDF-cosine features + RF capacity 100/16 (r5): measured 0.852
+    (p=0.99, r=0.75; was 0.823 at the default 50/8) — for context, the
+    published classical (Magellan) baseline on abt-buy's curated
+    benchmark split is ~0.43-0.61; the 1:1 UMC clustering constraint
+    buys most of the precision here."""
     from ertransfer_spark.functions.text import qgrams
     from ertransfer_spark.operators.blocking import top_k_token_join
 
@@ -170,8 +173,9 @@ def test_d2_abt_buy_end_to_end(spark):
         spark, ra, rb, golden, cand, raw=(a, b),
         attrs=["name", "description", "price"],
         extra=[("num", "price"), ("ovl", "name")], tfidf=True,
+        train_params={"numTrees": 100, "maxDepth": 16},
     )
-    assert m["f1"] >= 0.78, m
+    assert m["f1"] >= 0.80, m
 
 
 def test_d3_amazon_google_end_to_end(spark):
@@ -182,9 +186,13 @@ def test_d3_amazon_google_end_to_end(spark):
     here — the loss is matcher ranking on hard textual pairs (block
     recall 0.886). Blocking per settings.py: clean=True, QGram=5,
     multiset cosine, K=26, reverse. With the numeric-price +
-    title-overlap + TF-IDF-cosine features: measured 0.691 (p=0.81,
-    r=0.60). Published classical baselines on this dataset's curated
-    benchmark run ~0.49."""
+    title-overlap + TF-IDF-cosine features AND RF capacity raised to
+    numTrees=100/maxDepth=16 (r5: the default 50/8 underfits the
+    expanded feature set — capacity alone lifts 0.703→0.788, precision
+    0.78→0.93; depth 12/16/20 plateau, exp in /tmp/d3_params*.log
+    methodology pinned in scripts/exp_pipeline_all.py recipe comment):
+    measured 0.788 (p=0.93, r=0.69). Published classical baselines on
+    this dataset's curated benchmark run ~0.49."""
     from ertransfer_spark.functions.text import qgrams
     from ertransfer_spark.operators.blocking import top_k_token_join
 
@@ -202,8 +210,9 @@ def test_d3_amazon_google_end_to_end(spark):
         spark, ra, rb, golden, cand,
         raw=(a, b), attrs=["title", "description", "manufacturer", "price"],
         extra=[("num", "price"), ("ovl", "title")], tfidf=True,
+        train_params={"numTrees": 100, "maxDepth": 16},
     )
-    assert m["f1"] >= 0.65, m
+    assert m["f1"] >= 0.75, m
 
 
 # Matcher-only benchmark on the reference's OWN committed train/test pair
@@ -247,10 +256,10 @@ def test_matcher_on_committed_splits(spark, name, floor):
 # the negatives corpus is the splits' random sample, so blocking faces
 # fewer distractors than the reference's full tableB — coverage, not a
 # published benchmark). Recipes + measured values live in
-# scripts/exp_pipeline_all.py; floors sit just under the 2026-08-18
+# scripts/exp_pipeline_all.py; floors sit just under the 2026-08-19 r5
 # local[8] measurements:
-# d5 0.903, d6 0.799, d7 0.771, d8 0.736, d9 0.984 (block recall 0.997),
-# d10 0.651, d11 0.250, d12 0.489 (d11/d12 are the extreme-label-scarcity
+# d5 0.903, d6 0.799, d7 0.771, d8 0.856, d9 0.984 (block recall 0.997),
+# d10 0.698, d11 0.268, d12 0.532 (d11/d12 are the extreme-label-scarcity
 # regime — 132 and 68 golden; their matcher-split F1s are 0.99 and 0.905).
 @pytest.mark.parametrize(
     "name,floor",
@@ -258,7 +267,9 @@ def test_matcher_on_committed_splits(spark, name, floor):
         ("d5_imdb_tmdb", 0.85),
         ("d6_imdb_tvdb", 0.75),
         ("d7_tmdb_tvdb", 0.72),
-        ("d8_amazon_walmart", 0.68),
+        # r5: RF capacity 100/16 (see exp_pipeline_all recipe notes) lifted
+        # d8 0.736→0.856, d10 0.679→0.698, d12 0.489→0.532, d11 0.250→0.268
+        ("d8_amazon_walmart", 0.80),
         ("d9_dblp_scholar", 0.95),
         # d10's blocking recall is textual-overlap-CEILING-bound at 0.737
         # (26.3% of golden pairs share zero word tokens ACROSS ALL ATTRS:
@@ -267,7 +278,7 @@ def test_matcher_on_committed_splits(spark, name, floor):
         # content-based blocker reaches them; analysis in exp_d10_rare.py).
         # union k=20 + keep_rare_df=100 (rare-token pass-through) reaches
         # 0.721 ≈ 0.978 of the ceiling; measured F1 0.679 (was 0.651).
-        ("d10_imdb_dbpedia", 0.65),
+        ("d10_imdb_dbpedia", 0.66),
         # d11 is the d12 regime squared: 132 golden over 6907×9282, golden
         # pairs span DIFFERENT remixes (durations differ) while candidate
         # distractors are other versions of the same song — measured 0.25
@@ -278,7 +289,7 @@ def test_matcher_on_committed_splits(spark, name, floor):
         # ~0.65 before label scarcity enters; the date/price/duration
         # tie-breakers are the attrs that DIFFER across remixes.
         ("d11_itunes_amazon", 0.15),
-        ("d12_beeradvo_ratebeer", 0.40),
+        ("d12_beeradvo_ratebeer", 0.45),
     ],
 )
 def test_pipeline_end_to_end_remaining_datasets(spark, name, floor):
