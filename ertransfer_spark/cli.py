@@ -104,6 +104,24 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def parse_train_params(spec: str) -> dict:
+    """Parse ``--train-params name=value,...`` into estimator kwargs,
+    coercing int then float and leaving everything else a string (Spark ML
+    Params apply their own typeConverter on set)."""
+    def _coerce(v):
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return v
+
+    return {
+        k: _coerce(v)
+        for k, v in (pair.split("=", 1) for pair in spec.split(","))
+    }
+
+
 def cmd_run(args) -> int:
     from ertransfer_spark.operators.canonicalize import canonicalize_table
     from ertransfer_spark.operators.labeling import attach_labels, stratified_split
@@ -146,21 +164,9 @@ def cmd_run(args) -> int:
         attr_extra = tuple(
             tuple(pair.split(":", 1)) for pair in args.attr_extra.split(",")
         )
-    train_params = None
-    if args.train_params:
-        def _coerce(v):
-            for cast in (int, float):
-                try:
-                    return cast(v)
-                except ValueError:
-                    pass
-            return v
-
-        train_params = {
-            k: _coerce(v)
-            for k, v in (pair.split("=", 1)
-                         for pair in args.train_params.split(","))
-        }
+    train_params = (
+        parse_train_params(args.train_params) if args.train_params else None
+    )
     cfg = PipelineConfig(
         k=args.k, metric=args.metric, algorithm=args.algorithm,
         train_params=train_params,

@@ -173,6 +173,11 @@ def _rapidfuzz_jw():
         ("prefix match long", "prefix match lung"), ("x", "y"),
         ("the quick brown fox", "the quick brown fix"),
         ("low sim", "entirely different"), ("aaaa", "aaab"),
+        # boost-threshold region: common prefix but jaro <= 0.7, so the
+        # Winkler boost must NOT apply (j 0.5556/0.5000, prefix 2). A
+        # variant that boosts unconditionally passes every probe above
+        # (none combine prefix>0 with jaro<=0.7) yet diverges here.
+        ("martha", "massey"), ("abcdxxxx", "abyyzzzz"),
     ]
     fn = JaroWinkler.similarity
     if all(fn(x, y) == jaro_winkler(x, y) for x, y in probes):

@@ -218,10 +218,20 @@ def top_k_token_join(
         pa = pa.withColumn("token", F.xxhash64("token"))
         pb = pb.withColumn("token", F.xxhash64("token"))
 
-    if max_token_df:
+    # ONE df-per-token aggregation per side feeds all three df-derived sets
+    # (max_token_df keep, keep_rare_df rare, salt_hot_product hot): their
+    # counts are row-identical because token pruning removes WHOLE tokens,
+    # never rows within a surviving token, and posting_budget is already
+    # applied upstream. Sharing the subplan lets Catalyst reuse the
+    # exchange instead of re-scanning + re-exploding the postings per set.
+    token_dfs = None
+    if max_token_df or keep_rare_df or (salt > 1 and salt_hot_product):
         df_a = pa.groupBy("token").agg(F.count(F.lit(1)).alias("df_a"))
         df_b = pb.groupBy("token").agg(F.count(F.lit(1)).alias("df_b"))
-        keep = df_a.join(df_b, "token").filter(
+        token_dfs = df_a.join(df_b, "token")  # tokens on BOTH sides
+
+    if max_token_df:
+        keep = token_dfs.filter(
             (F.col("df_a") <= max_token_df) & (F.col("df_b") <= max_token_df)
         ).select("token")
         pa = pa.join(F.broadcast(keep), "token")
@@ -229,15 +239,21 @@ def top_k_token_join(
 
     if keep_rare_df:
         # rare-token pass-through flag: token present on BOTH sides with
-        # combined df ≤ keep_rare_df. The rare set is the vocabulary's long
-        # tail — NOT broadcastable at scale — so it joins onto the A-side
-        # postings by token (sort-merge, co-partitioned with the main join
-        # when unsalted); one extra posting-width exchange, opt-in.
-        kdfa = pa.groupBy("token").agg(F.count(F.lit(1)).alias("_kdfa"))
-        kdfb = pb.groupBy("token").agg(F.count(F.lit(1)).alias("_kdfb"))
+        # combined df ≤ keep_rare_df. Rarity is measured on the pruned
+        # posting lists: the both-sides-≤-max condition reproduces the
+        # max_token_df keep filter, under which per-token counts are
+        # unchanged. The rare set is the vocabulary's long tail — NOT
+        # broadcastable at scale — so it joins onto the A-side postings by
+        # token (sort-merge, co-partitioned with the main join when
+        # unsalted); one extra posting-width exchange, opt-in.
+        rare_cond = F.col("df_a") + F.col("df_b") <= keep_rare_df
+        if max_token_df:
+            rare_cond = rare_cond & (
+                (F.col("df_a") <= max_token_df)
+                & (F.col("df_b") <= max_token_df)
+            )
         rare = (
-            kdfa.join(kdfb, "token")
-            .filter(F.col("_kdfa") + F.col("_kdfb") <= keep_rare_df)
+            token_dfs.filter(rare_cond)
             .select("token")
             .withColumn("_rare", F.lit(1))
         )
@@ -248,12 +264,11 @@ def top_k_token_join(
     if salt > 1 and salt_hot_product:
         # targeted skew split: replicate B postings ONLY for tokens whose
         # join-output product dfa·dfb exceeds the budget. Cold tokens join
-        # un-replicated on salt key 0.
-        dfa = pa.groupBy("token").agg(F.count(F.lit(1)).alias("_dfa"))
-        dfb = pb.groupBy("token").agg(F.count(F.lit(1)).alias("_dfb"))
+        # un-replicated on salt key 0. Tokens dropped by the keep filter
+        # may appear hot here — harmless, they are absent from pa/pb.
         hot = (
-            dfa.join(dfb, "token")
-            .filter(F.col("_dfa") * F.col("_dfb") > salt_hot_product)
+            token_dfs
+            .filter(F.col("df_a") * F.col("df_b") > salt_hot_product)
             .select("token")
             .withColumn("_hot", F.lit(1))
         )

@@ -248,15 +248,20 @@ class ERPipeline:
 
                     # deterministic hash-sample cap (scaling_worker.py
                     # recipe): the boundary estimate doesn't improve past
-                    # ~100k pairs, and the cap bounds the driver collect
+                    # ~100k pairs. Positives ALWAYS pass — on label-scarce
+                    # corpora a label-blind sample can nearly erase them
+                    # and degenerate the IRLS boundary — so the driver
+                    # collect is bounded by n_positives + ~cap (ceil keeps
+                    # the negative sample <= cap; floor allowed up to 2x).
                     n_train = train_pairs.count()
-                    keep = max(1, n_train // cfg.train_sample_cap)
+                    keep = max(1, -(-n_train // cfg.train_sample_cap))
                     if keep > 1:
                         train_pairs = train_pairs.filter(
-                            F.pmod(
+                            (F.col("label") == 1)
+                            | (F.pmod(
                                 F.xxhash64("a_id", "b_id", F.lit(999)),
                                 F.lit(keep),
-                            ) == 0
+                            ) == 0)
                         )
                     model = train_matcher_local(
                         _featurize(train_pairs), feature_cols=feature_cols

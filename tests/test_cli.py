@@ -91,9 +91,9 @@ def test_cli_flag_to_config_plumbing():
 
 
 def test_cli_train_params_coercion():
-    """--train-params name=value pairs coerce ints/floats and reach the
-    parsed args (the cmd_run coercion mirrors this)."""
-    from ertransfer_spark.cli import build_parser
+    """--train-params name=value pairs coerce ints/floats, via the SAME
+    parse_train_params function cmd_run calls (not a test-local copy)."""
+    from ertransfer_spark.cli import build_parser, parse_train_params
 
     p = build_parser()
     args = p.parse_args(
@@ -101,15 +101,6 @@ def test_cli_train_params_coercion():
          "numTrees=100,maxDepth=16,subsamplingRate=0.8,impurity=entropy"]
     )
 
-    def _coerce(v):
-        for cast in (int, float):
-            try:
-                return cast(v)
-            except ValueError:
-                pass
-        return v
-
-    tp = {k: _coerce(v) for k, v in
-          (pair.split("=", 1) for pair in args.train_params.split(","))}
+    tp = parse_train_params(args.train_params)
     assert tp == {"numTrees": 100, "maxDepth": 16,
                   "subsamplingRate": 0.8, "impurity": "entropy"}

@@ -301,3 +301,30 @@ def test_rapidfuzz_guard_parity():
              "prefix two", "the quick brown fox jumps", "entirely unrelated"]
     for x, y in itertools.product(words, repeat=2):
         assert JaroWinkler.similarity(x, y) == jaro_winkler(x, y), (x, y)
+
+
+def test_rapidfuzz_probe_covers_boost_threshold():
+    """The probe set must contain a pair with a common prefix AND
+    jaro <= 0.7: that is the only input region where the 0.7 Winkler
+    boost-threshold is observable, so without such a probe a variant
+    that boosts unconditionally would pass the guard bit-for-bit and
+    silently change matcher features on real data."""
+    import inspect
+
+    from ertransfer_spark.functions import similarity as sim
+
+    src = inspect.getsource(sim._rapidfuzz_jw)
+    # re-evaluate the literal probe list from the guard's source
+    probes = eval(src.split("probes = ")[1].split("]")[0] + "]")  # noqa: S307
+    def prefix(a, b):
+        p = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            p += 1
+        return p
+    assert any(prefix(a, b) > 0 and sim.jaro(a, b) <= 0.7 for a, b in probes)
+    # and an unconditional-boost variant must FAIL the probe set
+    def jw_no_threshold(a, b):
+        return sim.jaro_winkler(a, b, boost_threshold=-1.0)
+    assert not all(jw_no_threshold(a, b) == sim.jaro_winkler(a, b) for a, b in probes)

@@ -132,3 +132,16 @@ def test_pipeline_tfidf_feature(spark, spark_corpora, workdir):
     out = pipe.run(ta, tb, matches)
     assert out["metrics"]["f1"] >= 0.99
     assert {"a_id", "b_id", "prob_class1"} <= set(out["predictions"].columns)
+
+
+def test_pipeline_local_train_cap_keeps_positives(spark, spark_corpora, workdir):
+    """With train_sample_cap far below the candidate count, the local-train
+    hash sample must (a) keep EVERY positive (label-scarce corpora would
+    otherwise lose the boundary) and (b) still produce a usable matcher —
+    F1 stays at the uncapped bar on the synth corpus."""
+    ta, tb, matches = spark_corpora
+    pipe = ERPipeline(
+        spark, workdir, PipelineConfig(k=5, train_sample_cap=50)
+    )
+    out = pipe.run(ta, tb, matches)
+    assert out["metrics"]["f1"] >= 0.99
