@@ -296,8 +296,16 @@ def q_snm_blocking(spark, sf_dir):
 
 def q_threshold_sweep(spark, sf_dir):
     """M4: single-pass F1 sweep over prob buckets (label = same lang)."""
+    # strict-> boundary parity with clustering.threshold_sweep: a sim_r
+    # exactly AT grid point i/100 is NOT predicted-positive at threshold
+    # i/100 (reference clusterers filter prob > t), so it buckets to i-1
+    bkt_f = F.floor(F.col("sim_r") * 100)
+    bkt = F.least(
+        F.when(F.col("sim_r") <= bkt_f / F.lit(100), bkt_f - 1).otherwise(bkt_f),
+        F.lit(99),
+    )
     s = _scored_pairs(spark, sf_dir).select(
-        F.least(F.floor(F.col("sim_r") * 100), F.lit(99)).cast("long").alias("bkt"),
+        bkt.cast("long").alias("bkt"),
         F.expr(f"CASE WHEN {LABEL_EXPR} THEN 1 ELSE 0 END").alias("label"),
     )
     agg = s.groupBy("bkt").agg(
@@ -847,7 +855,9 @@ def _tfidf_cosine_oracle_sql() -> str:
               GROUP BY pr.a_id, pr.b_id
             )
             SELECT pr.a_id, pr.b_id,
-                   round(coalesce(dt.dot / (na.nrm * nb.nrm), 0.0), 6) AS tfidf_cos
+                   round(CASE WHEN na.nrm > 0 AND nb.nrm > 0
+                              THEN coalesce(dt.dot / (na.nrm * nb.nrm), 0.0)
+                              ELSE 0.0 END, 6) AS tfidf_cos
             FROM pr
             LEFT JOIN dt ON dt.a_id = pr.a_id AND dt.b_id = pr.b_id
             LEFT JOIN nrm na ON na.id = pr.a_id
@@ -1034,7 +1044,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "threshold_sweep": SQL_SCORED + f"""
             , lab AS (
-              SELECT CAST(least(floor(sim_r * 100), 99) AS BIGINT) AS bkt,
+              -- strict-> boundary parity: sim_r exactly at grid point
+              -- i/100 buckets to i-1 (mirrors q_threshold_sweep)
+              SELECT CAST(least(CASE WHEN sim_r <= floor(sim_r * 100) / 100
+                                     THEN floor(sim_r * 100) - 1
+                                     ELSE floor(sim_r * 100) END,
+                                99) AS BIGINT) AS bkt,
                      {label_int} AS label
               FROM scored
             ), agg AS (

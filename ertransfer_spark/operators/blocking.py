@@ -441,6 +441,12 @@ def minhash_band_keys(
     :func:`minhash_lsh_join`). Standalone so incremental/streaming callers
     can sign ONLY a new batch and bucket-join it against previously
     persisted band keys (cost O(|batch|), never O(corpus))."""
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be divisible by bands={bands}: "
+            "a silent remainder would compute hashes that never feed a "
+            "band, changing the effective LSH S-curve"
+        )
     rows = n_hashes // bands
     posts = records.select(
         F.col(id_col).alias(f"{side}_id"), F.explode(tokens_col).alias("tok")
@@ -539,9 +545,13 @@ def sorted_neighborhood(
         )
     )
     n_parts = max(u.sparkSession.sparkContext.defaultParallelism, 4)
-    u = u.repartitionByRange(n_parts, "key", "rid").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    # localCheckpoint FREEZES the range partitioning: the counts collect
+    # below and the ranked/join jobs otherwise each re-execute
+    # repartitionByRange with a fresh RangePartitioner sample (seeded per
+    # job), and on data large enough for partial sampling the boundaries
+    # can shift rows between pids — corrupting offset+row_number ranks.
+    u = u.repartitionByRange(n_parts, "key", "rid").localCheckpoint()
+    u = u.withColumn("pid", F.spark_partition_id())
     # driver collect is O(partitions) — one tiny row per range partition,
     # independent of record count; never a row-scale collect
     counts = {r["pid"]: r["n"] for r in u.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}

@@ -58,7 +58,7 @@ def unique_mapping_clusters(
     predictions: DataFrame,
     threshold: float = 0.5,
     prob_col: str = "prob_class1",
-    max_rounds: int = 50,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """Greedy 1-1 matching (UMC) → (a_id, b_id, prob).
 
@@ -82,14 +82,27 @@ def unique_mapping_clusters(
     separate isEmpty probes are needed. The accepted set and the next
     frontier are lazy filters over the CHECKPOINTED frontier, so nothing
     is recomputed and lineage stays flat.
+
+    The loop runs to convergence by default: every round accepts at least
+    one edge (the global maximum is mutual-best), so rounds are bounded by
+    the edge count and in practice by the longest preference chain. Pass
+    ``max_rounds`` only as an explicit safety valve — exhausting it emits
+    a warning and returns the PARTIAL matching accepted so far (a chain of
+    N strictly-decreasing edges needs ~N/2 rounds, so a silent low cap
+    would drop valid greedy matches).
     """
+    import itertools
+    import warnings
+
     remaining = predictions.filter(F.col(prob_col) >= threshold).select(
         "a_id", "b_id", F.col(prob_col).alias("prob")
     )
     accepted_parts: list[DataFrame] = []
     wa = Window.partitionBy("a_id").orderBy(F.desc("prob"), F.asc("a_id"), F.asc("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.desc("prob"), F.asc("a_id"), F.asc("b_id"))
-    for _ in range(max_rounds):
+    rounds = range(max_rounds) if max_rounds is not None else itertools.count()
+    converged = False
+    for _ in rounds:
         flags = (
             remaining.withColumn("_ra", F.row_number().over(wa))
             .withColumn("_rb", F.row_number().over(wb))
@@ -106,16 +119,24 @@ def unique_mapping_clusters(
         ).collect()[0]
         n, nb = row["n"], row["nb"] or 0
         if nb == 0:  # implies n == 0 (see docstring)
+            converged = True
             break
         best = flags.filter(F.col("_best")).select("a_id", "b_id", "prob")
         accepted_parts.append(best)
         if nb == n:  # every remaining edge was accepted — frontier is empty
+            converged = True
             break
         remaining = (
             flags.filter(~F.col("_best"))
             .join(best.select("a_id"), "a_id", "left_anti")
             .join(best.select("b_id"), "b_id", "left_anti")
             .select("a_id", "b_id", "prob")
+        )
+    if not converged and max_rounds is not None:
+        warnings.warn(
+            f"unique_mapping_clusters stopped at max_rounds={max_rounds} "
+            "before convergence — returning a PARTIAL greedy matching",
+            stacklevel=2,
         )
     if not accepted_parts:
         # schema-stable empty result derived from the input (ids keep
@@ -144,8 +165,23 @@ def threshold_sweep(
     Parity: clustering/Probabilities/clustering.py:70-102 runs the grid as
     100 full rescans; here one bucketed groupBy + driver-side cumsum over
     ``grid`` rows. Returns [{threshold, precision, recall, f1}, ...].
+
+    Boundary rule: predicted-positive at threshold t means ``prob > t``
+    STRICTLY — the comparator the reference's clusterers apply
+    (clustering/Probabilities/clustering.py:14 ``prob_class1 >
+    sim_threshold``) and that :func:`exact_clusters` /
+    ``matcher.evaluate_predictions`` use downstream, so ``best_threshold``'s
+    tuned F1 is reproducible by the clusterer. A prob exactly AT a grid
+    point i/grid therefore belongs to bucket i-1 (prob == 0.0 → bucket -1:
+    counted in ground-truth positives, never predicted positive —
+    grid-exact probs are real: the linreg scorer clips to exactly 0.0/1.0).
     """
-    bucket = F.least(F.floor(F.col(prob_col) * grid), F.lit(grid - 1)).cast("int")
+    bucket_f = F.floor(F.col(prob_col) * grid)
+    bucket = F.least(
+        F.when(F.col(prob_col) <= bucket_f / F.lit(grid), bucket_f - 1)
+        .otherwise(bucket_f),
+        F.lit(grid - 1),
+    ).cast("int")
     agg = (
         predictions.groupBy(bucket.alias("bkt"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum(label_col).alias("pos"))
@@ -154,7 +190,8 @@ def threshold_sweep(
     by_bkt = {r["bkt"]: (r["n"], r["pos"] or 0) for r in agg}
     total_pos = sum(p for _, p in by_bkt.values())
     out = []
-    # predicted-positive at threshold t=i/grid = rows with prob > t ≈ buckets >= i
+    # predicted-positive at threshold t=i/grid = rows with prob > t = buckets >= i
+    # (exact, not approximate: grid-point probs were shifted to bucket i-1 above)
     cum_n = cum_p = 0
     suffix = [(0, 0)] * (grid + 1)
     for i in range(grid - 1, -1, -1):

@@ -192,6 +192,12 @@ def minhash_dedup_portable(
     """
     from ertransfer_spark.functions.text import word_shingles
 
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be divisible by bands={bands}: "
+            "a silent remainder would compute hashes that never feed a "
+            "band, changing the effective LSH S-curve"
+        )
     rows = n_hashes // bands
     tok = word_shingles(text_col, n=shingle)
     recs = docs.select(F.col(id_col).cast("long").alias("id"), tok.alias("s"))
@@ -242,6 +248,12 @@ def minhash_portable_duckdb_sql(
     """DuckDB query mirroring :func:`minhash_dedup_portable` hash-for-hash."""
     from ertransfer_spark.functions.text import DUCKDB_BIGRAMS_SQL, DUCKDB_TOKENS_SQL
 
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be divisible by bands={bands}: "
+            "a silent remainder would compute hashes that never feed a "
+            "band, changing the effective LSH S-curve"
+        )
     rows = n_hashes // bands
     toks = DUCKDB_TOKENS_SQL.format(col=text_col)
     sh = DUCKDB_BIGRAMS_SQL.format(ts=toks)

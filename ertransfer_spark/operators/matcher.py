@@ -166,7 +166,7 @@ def attr_features(
         *[normalize(F.col(c).cast("string")).alias(f"_a_{c}") for c in attrs],
         *[
             F.regexp_extract(F.col(c).cast("string"), _NUM_RE, 1)
-            .cast("double").alias(f"_a_{c}_num")
+            .try_cast("double").alias(f"_a_{c}_num")
             for c in num_attrs
         ],
         *[_date_parse(F.col(c)).alias(f"_a_{c}_date") for c in date_attrs],
@@ -176,7 +176,7 @@ def attr_features(
         *[normalize(F.col(c).cast("string")).alias(f"_b_{c}") for c in attrs],
         *[
             F.regexp_extract(F.col(c).cast("string"), _NUM_RE, 1)
-            .cast("double").alias(f"_b_{c}_num")
+            .try_cast("double").alias(f"_b_{c}_num")
             for c in num_attrs
         ],
         *[_date_parse(F.col(c)).alias(f"_b_{c}_date") for c in date_attrs],
@@ -246,6 +246,7 @@ def tfidf_cosine(
     tokens_col: str = "token_set",
     out_col: str = "tfidf_cos",
     max_df: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Corpus-IDF-weighted token cosine per candidate pair — the
     "TF-IDF-cosine" entry of the north rule's similarity-feature vector
@@ -286,7 +287,11 @@ def tfidf_cosine(
         F.col(id_col).alias("b_id"),
         F.explode(F.array_distinct(tokens_col)).alias("tok"),
     )
-    n_docs = records_a.count() + records_b.count()
+    if n_docs is None:
+        # two eager count() jobs — callers invoking tfidf_cosine more than
+        # once on the same corpus (e.g. train + full featurize) should
+        # count once and pass n_docs in
+        n_docs = records_a.count() + records_b.count()
     df_tok = (
         toks_a.select("tok").unionAll(toks_b.select("tok"))
         .groupBy("tok")
@@ -314,7 +319,15 @@ def tfidf_cosine(
         .join(norm_b, "b_id", "left")
         .withColumn(
             out_col,
-            F.coalesce(F.col("_dot") / (F.col("_na") * F.col("_nb")), F.lit(0.0)),
+            # zero-norm guard: a record whose every surviving token has
+            # idf == 0 (df == n_docs) gets _na = 0, and 0.0/0.0 THROWS
+            # under ANSI mode (NULL only in non-ANSI) — define it as 0.0
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.coalesce(
+                    F.col("_dot") / (F.col("_na") * F.col("_nb")), F.lit(0.0)
+                ),
+            ).otherwise(F.lit(0.0)),
         )
         .drop("_dot", "_na", "_nb")
     )

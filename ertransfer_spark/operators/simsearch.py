@@ -71,6 +71,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     round_dp: int = 4,
     rows_per_block: int = 4096,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k → (query_id, nbr_id, sim_r).
 
@@ -89,7 +90,10 @@ def brute_force_topk(
     k-th largest sim for that query (k better rows in the same cell
     already dominate it at the final rounded ranking). The final
     round+rank happens in Spark expressions so tie-breaks are identical
-    to the SQL oracle. Self-matches (same id) are excluded.
+    to the SQL oracle. Self-matches (same id) are excluded unless
+    ``exclude_self=False`` (use False when queries and corpus are
+    DIFFERENT tables with overlapping raw id spaces — cross-source
+    blocking — where equal ids are legitimate pairs).
     """
     import numpy as np
     import pandas as pd
@@ -117,7 +121,7 @@ def brute_force_topk(
         S = Mn @ Qn.T  # (corpus_rows, query_rows)
         qids = np.asarray(left["qid"], dtype=np.int64)
         nbr = np.asarray(right["cid"], dtype=np.int64)
-        kk = min(k + 1, len(nbr))  # +1: self-match removed after scoring
+        kk = min(k + 1 if exclude_self else k, len(nbr))  # +1: self-match removed after scoring
         if len(nbr) > kk:
             kth = np.partition(S, -kk, axis=0)[-kk, :]
             keep_r, keep_q = np.where(S >= (kth[None, :] - eps))
@@ -126,7 +130,7 @@ def brute_force_topk(
         out = pd.DataFrame(
             {"query_id": qids[keep_q], "nbr_id": nbr[keep_r], "sim": S[keep_r, keep_q]}
         )
-        return out[out["query_id"] != out["nbr_id"]]
+        return out[out["query_id"] != out["nbr_id"]] if exclude_self else out
 
     scored = (
         q_rep.groupBy("qb", "cb")
@@ -282,9 +286,12 @@ def vector_blocking(
     join, exact cosine top-k → (a_id, b_id, sim) candidate pairs."""
     ea = embed_records(records_a, tokens_col, id_col, dim)
     eb = embed_records(records_b, tokens_col, id_col, dim)
+    # exclude_self=False: A and B are DIFFERENT tables; overlapping raw id
+    # values (reference tabular datasets reuse integer id spaces on both
+    # sides) are legitimate cross-source pairs, not self-matches
     out = lsh_topk(
         ea, eb, k=k, id_col=id_col, vec_col="embedding",
-        n_planes=n_planes, n_tables=n_tables,
+        n_planes=n_planes, n_tables=n_tables, exclude_self=False,
     )
     return out.select(
         F.col("query_id").alias("a_id"), F.col("nbr_id").alias("b_id"),
@@ -346,7 +353,11 @@ def ivf_topk(
     cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
 
     q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("qv"), F.col("_norm").alias("qn")
+        # cast to long like nbr_id above (and like the seeded variant):
+        # with string ids an uncast query_id vs bigint nbr_id self-match
+        # comparison is NULL and silently drops every candidate row
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col("_v").alias("qv"), F.col("_norm").alias("qn")
     )
     qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
         "cdist",
@@ -558,9 +569,22 @@ def lsh_topk_portable(
     DuckDB twin (:func:`lsh_portable_duckdb_sql`) re-derives them from the
     hash spec in SQL, so the oracle verifies the spec itself cross-engine.
     """
-    dim = len(
-        corpus.select(_as_double(vec_col).alias("v")).filter(F.col("v").isNotNull()).first()["v"]
+    first = (
+        corpus.select(_as_double(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .first()
     )
+    if first is None:
+        # empty corpus (or all-null vec_col): no plane dimension to derive
+        # — return the schema-stable empty result like the other topk ops
+        return (
+            queries.select(
+                F.col(id_col).cast("long").alias("query_id"),
+                F.col(id_col).cast("long").alias("nbr_id"),
+                F.lit(0.0).alias("sim_r"),
+            ).limit(0)
+        )
+    dim = len(first["v"])
     total_planes = n_tables * n_planes
     weights = [
         [_poly_hash(f"pl:{p}:{i}") % 2001 - 1000 for i in range(dim)]
@@ -724,6 +748,7 @@ def lsh_topk(
     n_tables: int = 4,
     seed: int = 42,
     round_dp: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN → (query_id, nbr_id, sim_r), approximate.
 
@@ -731,6 +756,11 @@ def lsh_topk(
     collisions in any table (distinct), then exact cosine re-rank. At 100 TB
     the bucket join replaces the cross join: cost ∝ collisions, and AQE
     skew-join splits hot buckets.
+
+    ``exclude_self`` drops query_id == nbr_id rows — correct for the
+    self-join ANN contract (queries IS the corpus), but set it False when
+    queries and corpus are DIFFERENT tables whose raw id spaces overlap
+    (cross-source blocking): there (5, 5) is a legitimate candidate pair.
     """
     def bucketed(df: DataFrame, side: str) -> DataFrame:
         v = _as_double(vec_col)
@@ -756,9 +786,10 @@ def lsh_topk(
     cand = (
         bq.join(bc, ["tbl", "bucket"])
         .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("nbr_id"))
-        .filter(F.col("query_id") != F.col("nbr_id"))
-        .distinct()
     )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("nbr_id"))
+    cand = cand.distinct()
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("qv"), F.col("_norm").alias("qn")
     )

@@ -47,6 +47,11 @@ def kl_association(
         F.max(sim_col).alias("mx"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
+    if int(t["n"]) == 0:
+        raise ValueError(
+            "kl_association: target_sims is empty — no target distribution "
+            "to compare candidate datasets against"
+        )
     t_mn, t_mx, t_n = float(t["mn"]), float(t["mx"]), int(t["n"])
 
     ranges = (

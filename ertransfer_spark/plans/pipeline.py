@@ -212,6 +212,11 @@ class ERPipeline:
 
         labeled = self._stage("labeled", _label, resume) if golden is not None else cand
 
+        # corpus size for tfidf idf: count ONCE here — _featurize runs up to
+        # twice per pipeline (train + full featurize) and tfidf_cosine would
+        # otherwise re-run both count() jobs per invocation
+        n_docs_tfidf = (ra.count() + rb.count()) if cfg.tfidf else None
+
         def _featurize(pairs_df):
             ft = featurize(attach_pair_text(pairs_df, ra, rb, truncate=256))
             if cfg.attrs:
@@ -223,7 +228,9 @@ class ERPipeline:
             if cfg.tfidf:
                 from ertransfer_spark.operators.matcher import tfidf_cosine
 
-                ft = tfidf_cosine(ft, ra, rb, max_df=cfg.tfidf_max_df)
+                ft = tfidf_cosine(
+                    ft, ra, rb, max_df=cfg.tfidf_max_df, n_docs=n_docs_tfidf
+                )
             return ft
 
         feature_cols = None

@@ -50,8 +50,8 @@ NUM_RE = r"([0-9]+(?:\.[0-9]+)?)"
 def numeric_feature(out: DataFrame, c: str) -> tuple[DataFrame, list[str]]:
     """1 - |a-b|/max(a,b) on the first number in each side, 0 if either
     side has none (presence carried separately)."""
-    a_ = F.regexp_extract(F.col(f"_a_{c}"), NUM_RE, 1).cast("double")
-    b_ = F.regexp_extract(F.col(f"_b_{c}"), NUM_RE, 1).cast("double")
+    a_ = F.regexp_extract(F.col(f"_a_{c}"), NUM_RE, 1).try_cast("double")
+    b_ = F.regexp_extract(F.col(f"_b_{c}"), NUM_RE, 1).try_cast("double")
     both = a_.isNotNull() & b_.isNotNull() & (F.greatest(a_, b_) > 0)
     out = out.withColumn(
         f"{c}_num",

@@ -69,6 +69,59 @@ def test_umc_equals_greedy_random(spark):
     assert got["a_id"].is_unique and got["b_id"].is_unique
 
 
+def test_umc_converges_on_preference_chain(spark):
+    """A strictly-decreasing preference chain accepts ONE edge per round
+    (each round's mutual-best is only the global head of the remaining
+    chain) — the convergence-by-default loop must finish it completely,
+    and an explicit low max_rounds must warn and return a PARTIAL match."""
+    import warnings
+
+    # path graph a0-b0-a1-b1-...: probs strictly decreasing along the path
+    rows = []
+    for i in range(12):
+        rows.append((f"a{i:02d}", f"b{i:02d}", round(0.99 - 0.02 * (2 * i), 6)))
+        rows.append((f"a{i + 1:02d}", f"b{i:02d}", round(0.99 - 0.02 * (2 * i + 1), 6)))
+    got = unique_mapping_clusters(preds_df(spark, rows), threshold=0.1).toPandas()
+    want = oracle.umc_greedy(pd.DataFrame(rows, columns=["a_id", "b_id", "prob"]), 0.1)
+    assert set(zip(got["a_id"], got["b_id"])) == set(zip(want["a_id"], want["b_id"]))
+    # sequential greedy takes every (a_i, b_i) edge — 12 matches
+    assert len(got) == 12
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        part = unique_mapping_clusters(
+            preds_df(spark, rows), threshold=0.1, max_rounds=2
+        ).toPandas()
+    assert len(part) == 2  # one edge accepted per round on a chain
+    assert any("max_rounds" in str(x.message) for x in w)
+
+
+def test_threshold_sweep_strict_gt_boundary(spark):
+    """Grid-point-exact probs (linreg clips to exactly 0.0/1.0) are NOT
+    predicted-positive at their own threshold — strict > like
+    exact_clusters / evaluate_predictions, so the tuned F1 reproduces."""
+    rows = [
+        ("a1", "b1", 0.5, 1),   # exactly at t=0.50: excluded there
+        ("a2", "b2", 0.51, 1),
+        ("a3", "b3", 0.0, 1),   # prob 0.0 never predicted positive
+        ("a4", "b4", 1.0, 0),   # predicted positive up to t=0.99
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["a_id", "b_id", "prob_class1", "label"])
+    )
+    sweep = threshold_sweep(df)
+    at = {round(r["threshold"], 2): r for r in sweep}
+    # t=0.50: only 0.51 and 1.0 are > t → tp=1, pred=2, pos=3
+    assert abs(at[0.5]["precision"] - 1 / 2) < 1e-12
+    assert abs(at[0.5]["recall"] - 1 / 3) < 1e-12
+    # t=0.49: 0.5 joins → tp=2, pred=3
+    assert abs(at[0.49]["precision"] - 2 / 3) < 1e-12
+    # t=0.0: prob 0.0 excluded even at the lowest threshold
+    assert abs(at[0.0]["precision"] - 2 / 3) < 1e-12
+    # t=0.99: only the 1.0 row
+    assert abs(at[0.99]["precision"] - 0.0) < 1e-12
+    assert abs(at[0.99]["recall"] - 0.0) < 1e-12
+
+
 def test_ec_equals_oracle(spark):
     rng = random.Random(5)
     rows = [
@@ -116,7 +169,9 @@ def test_threshold_sweep_single_pass_matches_bruteforce(spark):
     pdf = pd.DataFrame(rows, columns=["a_id", "b_id", "prob", "label"])
     for t_idx in (0, 17, 50, 99):
         t = t_idx / 100
-        pred = pdf[pdf["prob"] >= (t_idx) / 100]  # bucket >= i ⟺ prob >= i/grid
+        # STRICT >: the reference clusterers filter prob > t, and the sweep
+        # buckets grid-point-exact probs one bucket down to match
+        pred = pdf[pdf["prob"] > t]
         tp = int(pred["label"].sum())
         prec = tp / len(pred) if len(pred) else 0.0
         rec = tp / int(pdf["label"].sum())

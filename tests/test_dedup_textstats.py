@@ -137,6 +137,64 @@ def test_lsh_topk_recall(spark, vectors):
     assert hits >= len(exact) * 0.8
 
 
+def test_vector_blocking_keeps_overlapping_raw_ids(spark):
+    """A and B are DIFFERENT tables whose raw id spaces overlap (the
+    reference's tabular datasets reuse integer ids on both sides): the
+    cross-source pair (i, i) is legitimate and must NOT be dropped by the
+    ANN self-match filter."""
+    from ertransfer_spark.operators.simsearch import vector_blocking
+
+    rows = [(i, [f"tok{i}a", f"tok{i}b", f"tok{i}c"]) for i in range(8)]
+    schema = "conv_id long, token_set array<string>"
+    ta = spark.createDataFrame(rows, schema)
+    tb = spark.createDataFrame(rows, schema)  # identical content, same ids
+    got = vector_blocking(ta, tb, k=2, dim=64)
+    same = got.filter(F.col("a_id") == F.col("b_id")).collect()
+    # identical token sets hash to identical embeddings → every record's
+    # true nearest cross-source neighbour is its same-id twin (sim 1.0)
+    assert len(same) == 8
+    assert all(abs(r["sim"] - 1.0) < 1e-9 for r in same)
+
+
+def test_lsh_topk_self_join_still_excludes_self(spark, vectors):
+    from ertransfer_spark.operators.simsearch import lsh_topk
+
+    out = lsh_topk(vectors, vectors, k=3, n_planes=4, n_tables=8)
+    assert out.filter(F.col("query_id") == F.col("nbr_id")).count() == 0
+
+
+def test_lsh_topk_portable_empty_corpus(spark, vectors):
+    from ertransfer_spark.operators.simsearch import lsh_topk_portable
+
+    empty = vectors.limit(0)
+    out = lsh_topk_portable(vectors, empty, k=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "nbr_id", "sim_r"]
+
+
+def test_minhash_bands_divisibility_raises(spark, docs):
+    import pytest as _pytest
+
+    from ertransfer_spark.operators.blocking import minhash_band_keys
+    from ertransfer_spark.operators.dedup import (
+        minhash_dedup_portable,
+        minhash_portable_duckdb_sql,
+    )
+
+    with _pytest.raises(ValueError, match="divisible"):
+        minhash_dedup_portable(docs, n_hashes=100, bands=32)
+    with _pytest.raises(ValueError, match="divisible"):
+        minhash_portable_duckdb_sql(n_hashes=100, bands=32)
+    with _pytest.raises(ValueError, match="divisible"):
+        minhash_band_keys(
+            docs.select(F.col("doc_id"), F.split("text", " ").alias("token_set")),
+            "doc_id",
+            "token_set",
+            n_hashes=100,
+            bands=32,
+        )
+
+
 def test_binary_meta_and_fake_decode(spark, docs):
     from ertransfer_spark.operators.multimodal import binary_meta, fake_decode
 

@@ -212,6 +212,81 @@ def test_attr_features_date_kind(spark):
     assert rows[("a3", "b3")] == 0.0               # a-side unparseable
 
 
+def test_attr_features_num_without_digits_under_ansi(spark):
+    """kind="num" on a digit-free value: regexp_extract yields '' and
+    CAST('' AS DOUBLE) throws under ANSI mode — the try_cast path must
+    survive an ANSI driver session (CLAUDE.md invariant) and fall back
+    to the 0.0 no-number feature."""
+    from ertransfer_spark.operators.matcher import attr_features
+
+    a = spark.createDataFrame(
+        [("a1", "call for price"), ("a2", "12.50")], "id string, price string"
+    )
+    b = spark.createDataFrame(
+        [("b1", "-"), ("b2", "10.00")], "id string, price string"
+    )
+    pairs = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2"), ("a1", "b2")], "a_id string, b_id string"
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out, _ = attr_features(pairs, a, b, ["price"], extra=[("num", "price")])
+        rows = {(r["a_id"], r["b_id"]): r["price_num"] for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert rows[("a1", "b1")] == 0.0  # neither side has a number
+    assert rows[("a1", "b2")] == 0.0  # a side has none
+    assert rows[("a2", "b2")] == pytest.approx(1.0 - 2.50 / 12.50)
+
+
+def test_tfidf_cosine_zero_norm_under_ansi(spark):
+    """A pair whose every surviving token is corpus-ubiquitous (idf == 0)
+    has zero norms: 0.0/0.0 raises DIVIDE_BY_ZERO under ANSI mode and is
+    NaN-poison non-ANSI — the guard must emit the documented 0.0."""
+    from ertransfer_spark.operators.matcher import tfidf_cosine
+
+    a = spark.createDataFrame(
+        [("a1", ["the", "and"])], "conv_id string, token_set array<string>"
+    )
+    b = spark.createDataFrame(
+        [("b1", ["the", "and"])], "conv_id string, token_set array<string>"
+    )
+    pairs = spark.createDataFrame([("a1", "b1")], "a_id string, b_id string")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        # every token appears in ALL docs → idf = ln(2/2) = 0 → norms 0
+        out = tfidf_cosine(pairs, a, b).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert len(out) == 1
+    val = out[0]["tfidf_cos"]
+    assert val == 0.0 and not (val != val)  # exactly 0.0, not NaN
+
+
+def test_tfidf_cosine_n_docs_param_matches_default(spark):
+    from ertransfer_spark.operators.matcher import tfidf_cosine
+
+    a = spark.createDataFrame(
+        [("a1", ["usb", "cable"]), ("a2", ["hdmi", "lead"])],
+        "conv_id string, token_set array<string>",
+    )
+    b = spark.createDataFrame(
+        [("b1", ["usb", "cable", "gold"]), ("b2", ["hdmi"])],
+        "conv_id string, token_set array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2")], "a_id string, b_id string"
+    )
+    auto = {(r["a_id"], r["b_id"]): r["tfidf_cos"] for r in tfidf_cosine(pairs, a, b).collect()}
+    given = {
+        (r["a_id"], r["b_id"]): r["tfidf_cos"]
+        for r in tfidf_cosine(pairs, a, b, n_docs=4).collect()
+    }
+    assert auto == given and len(auto) == 2
+
+
 def test_attr_features_extra_unknown_kind_raises(spark):
     from ertransfer_spark.operators.matcher import attr_features
 

@@ -37,6 +37,19 @@ def test_kl_association_picks_closest(spark):
     assert select_training_dataset(cand, targ) == "mid"
 
 
+def test_kl_association_empty_target_raises(spark):
+    """An empty target distribution has no min/max — float(None) would
+    TypeError deep in the range math; the guard raises a clear error."""
+    import pytest as _pt
+
+    from ertransfer_spark.operators.transfer import kl_association
+
+    cand = _sims_df(spark, [("only", 0.5)])
+    targ = _sims_df(spark, [], with_dataset=False).limit(0)
+    with _pt.raises(ValueError, match="empty"):
+        kl_association(cand, targ)
+
+
 def test_kl_association_matches_reference_numpy(spark):
     """kl_r equals the reference's own recipe — np.histogram(bins=100,
     shared range), LS smoothing dist + 0.005·sum/100, entropy Σ p·ln(p/q)
