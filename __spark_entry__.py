@@ -453,33 +453,22 @@ def q_dedup_exact_stats(spark, sf_dir):
 
 
 def q_dedup_shingle_jaccard(spark, sf_dir):
-    """n-gram (word-bigram shingle) jaccard near-dup pairs, self-join."""
+    """n-gram (word-bigram shingle) jaccard near-dup pairs, self-join.
+
+    Adaptive kernel (operators/dedup.shingle_jaccard_pairs): the sparse
+    xxhash64 posting self-join is the web-scale default; when the
+    df-capped gram dictionary is small (runtime probe ≤ 4096 — true for
+    this corpus: the posting join degenerates to near-all-pairs there),
+    a triangular block-matmul sweep computes the same exact overlaps in
+    one BLAS pass per cell. Output identical either way (the rounded
+    Jaccard filter runs in Spark expressions in both paths; the SQL
+    oracle is unchanged)."""
+    from ertransfer_spark.operators.dedup import shingle_jaccard_pairs
+
     d = _doc_shingles(spark, sf_dir)
-    # hashed posting keys (see _scored_pairs) — identical output, smaller
-    # self-join shuffle
-    # skinny postings: (g, id) rows only; sizes re-attach post-agg via
-    # broadcast (see _scored_pairs)
-    p = d.select("id", F.explode("s").alias("g")).withColumn("g", F.xxhash64("g"))
-    keep = p.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= MAX_GRAM_DF
-    ).select("g")
-    p = p.join(F.broadcast(keep), "g")
-    left = p.select(F.col("id").alias("a_id"), "g")
-    right = p.select(F.col("id").alias("b_id"), "g")
-    szs = d.select("id", "sz")
-    pairs = (
-        left.join(right, "g")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
-        .join(F.broadcast(szs.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"))), "a_id")
-        .join(F.broadcast(szs.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"))), "b_id")
-    )
-    sim_r = F.round(F.col("overlap") / (F.col("a_sz") + F.col("b_sz") - F.col("overlap")), 6)
-    return (
-        pairs.withColumn("sim_r", sim_r)
-        .filter(F.col("sim_r") >= 0.6)
-        .select("a_id", "b_id", "sim_r")
+    return shingle_jaccard_pairs(
+        d, gram_col="s", id_col="id", sz_col="sz",
+        threshold=0.6, max_gram_df=MAX_GRAM_DF,
     )
 
 

@@ -103,6 +103,166 @@ def ngram_jaccard_dedup(
     )
 
 
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    gram_col: str = "s",
+    id_col: str = "id",
+    sz_col: str = "sz",
+    threshold: float = 0.6,
+    max_gram_df: int = 500,
+    dense_dict_max: int = 4096,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """Threshold Jaccard self-join over pre-shingled docs → (a_id, b_id, sim_r),
+    a_id < b_id, with an ADAPTIVE physical strategy.
+
+    Input: one row per doc with ``gram_col`` = array of distinct shingle
+    strings and ``sz_col`` = size of the FULL shingle set (the Jaccard
+    denominator uses full sizes; the df cap only prunes which grams can
+    WITNESS an overlap — same contract as :func:`ngram_jaccard_dedup`).
+
+    Two kernels, chosen at runtime from the df-capped gram-dictionary size
+    (one O(1)-row driver probe):
+
+    - **sparse** (the web-scale default): xxhash64 posting keys, hot grams
+      (df > ``max_gram_df``) removed by a broadcast ANTI-join — the hot set
+      is provably ≤ |postings|/cap rows, so it broadcasts at any corpus
+      size, unlike the keep-set — then the triangular posting self-join +
+      pair count agg.
+    - **dense** (when the kept dictionary ≤ ``dense_dict_max``): a
+      triangular block-matrix sweep (same shape as
+      ``simsearch.cosine_neardup_pairs``): docs are hash-bucketed into
+      blocks, each unordered block pair is ONE cogrouped applyInPandas
+      cell, and the cell computes ALL pairwise overlaps with a single
+      binary-matrix float32 matmul over a cell-local dictionary
+      (np.unique + searchsorted). Exact: 0/1 dot products ≤ dict size are
+      exactly representable in float32, and the kernel only PREFILTERS
+      with a margin — the authoritative round(·,6) ≥ threshold filter runs
+      in Spark expressions, identical to the sparse path and the SQL
+      oracle. This is the small-dictionary regime where the posting join
+      degenerates to near-all-pairs (every gram hot but under the cap):
+      streaming sum(df²) rows through a shuffle loses to one BLAS sweep.
+
+    Both kernels return the identical pair set (dense-vs-sparse equality
+    is pinned in tests/test_dedup_textstats.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    h = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.expr(f"transform({gram_col}, x -> xxhash64(x))").alias("hs"),
+        F.col(sz_col).cast("int").alias("sz"),
+    )
+    posts = h.select("id", F.explode("hs").alias("g"))
+    # one pass computes the df table; materialized so the dictionary-size
+    # probe and the hot-set reuse it instead of recomputing the postings agg
+    dfreq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df")).localCheckpoint()
+    hot = dfreq.filter(F.col("df") > max_gram_df).select("g")
+    n_kept = dfreq.filter(F.col("df") <= max_gram_df).count()
+
+    sim_of = lambda ov, asz, bsz: F.round(ov / (asz + bsz - ov), 6)  # noqa: E731
+
+    if 0 < n_kept <= dense_dict_max:
+        kept = posts.join(F.broadcast(hot), "g", "left_anti")
+        sets = kept.groupBy("id").agg(F.sort_array(F.collect_list("g")).alias("gs"))
+        sets = sets.join(h.select("id", "sz"), "id")
+        # materialized once: feeds BOTH cogroup sides (otherwise the
+        # collect_list agg runs twice) and supplies the block count
+        sets = sets.localCheckpoint()
+        n_docs = sets.count()
+        p = max(1, -(-n_docs // rows_per_block))
+        v = sets.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(p)))
+        left = v.select(
+            F.col("blk").alias("bi"),
+            F.explode(F.sequence(F.col("blk"), F.lit(p - 1))).alias("bj"),
+            "id", "gs", "sz",
+        )
+        right = v.select(
+            F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+            F.col("blk").alias("bj"),
+            "id", "gs", "sz",
+        )
+        t_eff = threshold - 1e-6  # margin: Spark's rounded filter is authoritative
+
+        def overlap_cell(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"a_id": [], "b_id": [], "overlap": [], "a_sz": [], "b_sz": []}
+            ).astype(
+                {"a_id": "int64", "b_id": "int64", "overlap": "int64",
+                 "a_sz": "int32", "b_sz": "int32"}
+            )
+            if not len(lpdf) or not len(rpdf):
+                return empty
+            lg = [np.asarray(a, dtype=np.int64) for a in lpdf["gs"]]
+            rg = [np.asarray(a, dtype=np.int64) for a in rpdf["gs"]]
+            vocab = np.unique(np.concatenate(lg + rg)) if (lg or rg) else np.array([], dtype=np.int64)
+
+            def densify(arrs):
+                M = np.zeros((len(arrs), len(vocab)), dtype=np.float32)
+                if len(vocab):
+                    rows = np.repeat(np.arange(len(arrs)), [len(a) for a in arrs])
+                    cols = np.searchsorted(vocab, np.concatenate(arrs) if arrs else np.array([], dtype=np.int64))
+                    M[rows, cols] = 1.0
+                return M
+
+            O = densify(lg) @ densify(rg).T  # noqa: E741 — overlap counts, exact in f32
+            x = np.asarray(lpdf["id"], dtype=np.int64)
+            y = np.asarray(rpdf["id"], dtype=np.int64)
+            sa = np.asarray(lpdf["sz"], dtype=np.int64)
+            sb = np.asarray(rpdf["sz"], dtype=np.int64)
+            # J >= t  <=>  O*(1+t) >= t*(sa+sb); evaluated with a margin
+            mask = O * (1.0 + t_eff) >= t_eff * (sa[:, None] + sb[None, :]) - 1e-6
+            mask &= O > 0
+            if key[0] == key[1]:
+                mask &= x[:, None] < y[None, :]
+            r, c = np.where(mask)
+            xa, yb = x[r], y[c]
+            swap = xa > yb
+            return pd.DataFrame(
+                {
+                    "a_id": np.where(swap, yb, xa),
+                    "b_id": np.where(swap, xa, yb),
+                    "overlap": O[r, c].astype(np.int64),
+                    "a_sz": np.where(swap, sb[c], sa[r]).astype(np.int32),
+                    "b_sz": np.where(swap, sa[r], sb[c]).astype(np.int32),
+                }
+            )
+
+        pairs = (
+            left.groupBy("bi", "bj")
+            .cogroup(right.groupBy("bi", "bj"))
+            .applyInPandas(
+                overlap_cell,
+                schema="a_id long, b_id long, overlap long, a_sz int, b_sz int",
+            )
+        )
+        return (
+            pairs.withColumn("sim_r", sim_of(F.col("overlap"), F.col("a_sz"), F.col("b_sz")))
+            .filter(F.col("sim_r") >= threshold)
+            .select("a_id", "b_id", "sim_r")
+        )
+
+    # sparse posting self-join (the 100 TB default): skinny (g, id) postings,
+    # hot grams dropped by broadcast anti-join, triangular a_id < b_id
+    pk = posts.join(F.broadcast(hot), "g", "left_anti")
+    szs = h.select("id", "sz")
+    agg = (
+        pk.select(F.col("id").alias("a_id"), "g")
+        .join(pk.select(F.col("id").alias("b_id"), "g"), "g")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+        .join(szs.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz")), "a_id")
+        .join(szs.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz")), "b_id")
+    )
+    return (
+        agg.withColumn("sim_r", sim_of(F.col("overlap"), F.col("a_sz"), F.col("b_sz")))
+        .filter(F.col("sim_r") >= threshold)
+        .select("a_id", "b_id", "sim_r")
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -43,6 +43,41 @@ def test_ngram_jaccard_dedup_finds_near_dup(spark, docs):
     assert all(a < b for a, b in pairs)    # canonical orientation
 
 
+def test_shingle_jaccard_pairs_dense_equals_sparse(spark):
+    """The adaptive operator's two kernels (dense block-matmul vs sparse
+    posting join) must return the IDENTICAL pair set — including the df-cap
+    overlap pruning and the a_id < b_id orientation — with the dense path
+    forced through MULTIPLE triangular block cells (rows_per_block=7)."""
+    from ertransfer_spark.functions.text import word_shingles
+    from ertransfer_spark.operators.dedup import shingle_jaccard_pairs
+
+    # 40 docs from a tiny template vocabulary: lots of shared shingles
+    # (every "common base phrase" bigram goes hot), a few true near-dups
+    rows = []
+    for i in range(40):
+        tail = f"variant token{i % 7} extra{i % 3}"
+        rows.append((i, f"common base phrase shared by many documents {tail}"))
+    rows.append((100, "common base phrase shared by many documents variant token0 extra0"))  # dup of 0
+    docs = spark.createDataFrame(rows, "id long, text string")
+    d = docs.select(
+        "id", word_shingles("text", n=2).alias("s")
+    ).withColumn("sz", F.size("s"))
+
+    # max_gram_df=15 drops every "common base phrase ..." bigram (df=41),
+    # so pairs can only be witnessed by the variant-tail bigrams: doc 0 and
+    # doc 100 share the 2 kept grams "variant token0" / "token0 extra0" out
+    # of 9 distinct bigrams each -> J = 2/(9+9-2) = 0.125 (denominator uses
+    # FULL sizes; the cap prunes witnesses only — the operator's contract)
+    kw = dict(gram_col="s", id_col="id", sz_col="sz", threshold=0.1, max_gram_df=15)
+    dense = shingle_jaccard_pairs(d, dense_dict_max=100000, rows_per_block=7, **kw)
+    sparse = shingle_jaccard_pairs(d, dense_dict_max=0, **kw)
+    ds = sorted(tuple(r) for r in dense.collect())
+    sp = sorted(tuple(r) for r in sparse.collect())
+    assert ds == sp and len(ds) > 0
+    assert all(a < b for a, b, _ in ds)
+    assert (0, 100, 0.125) in ds  # the planted near-dup survives both kernels
+
+
 def test_minhash_dedup_recall_vs_exact(spark, docs):
     """MinHash-LSH must recover every exact-jaccard pair ≥ its threshold
     (high banding collision prob at 0.5) — the engine-side check for the
