@@ -82,61 +82,34 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The blocking join (SURVEY J1): explode shingles → equi-join on
     shingle → pair agg → jaccard. A = even ids, B = odd ids.
     Columns: a_id b_id overlap a_size b_size a_lang b_lang sim_r."""
+    # Delegates to blocking.token_jaccard_join — ADAPTIVE: the sparse form
+    # (xxhash64 posting keys, skinny (g, id) postings, broadcast two-sided
+    # df-cap keep-set, equi-join + pair agg — the plan audited in prior
+    # rounds) is the web-scale default; when the capped shared dictionary
+    # is small (runtime probe ≤ 4096, true for this corpus where the
+    # posting join degenerates to near-all-pairs) a rectangular
+    # block-matmul sweep computes the identical overlaps in one BLAS pass
+    # per grid cell. Output identical either way (the rounded ≥ MIN_SIM
+    # filter runs in Spark expressions in both paths); the SQL oracle
+    # keeps the string keys — the OUTPUT is key-agnostic.
+    from ertransfer_spark.operators.blocking import token_jaccard_join
+
     d = _doc_shingles(spark, sf_dir)
-    # posting keys are xxhash64(shingle) longs, not the shingle strings —
-    # join results are identical (a 64-bit collision merging two posting
-    # lists has P ≈ n²/2⁶⁵ over distinct shingles) and the join/df-cap
-    # shuffle rows shrink from ~25-byte strings to 8-byte longs. The SQL
-    # oracle keeps the string keys: the OUTPUT is key-agnostic.
-    # skinny postings (measured ~2× on the blocking stage at both
-    # parallelism levels, BENCH.md variant table): posting rows carry ONLY
-    # (g, id) — 16 bytes — through the explode/df-cap/join/agg shuffles;
-    # the per-doc dims (size, lang) re-attach post-agg via two broadcast
-    # joins against the tiny doc-dim table. Output-identical.
-    dims = d.select("id", "lang", "sz")
-    a = d.filter(F.col("id") % 2 == 0).select(
-        F.col("id").alias("a_id"), F.explode("s").alias("g")
-    ).withColumn("g", F.xxhash64("g"))
-    b = d.filter(F.col("id") % 2 == 1).select(
-        F.col("id").alias("b_id"), F.explode("s").alias("g")
-    ).withColumn("g", F.xxhash64("g"))
-    keep = (
-        a.groupBy("g").agg(F.count(F.lit(1)).alias("dfa")).filter(F.col("dfa") <= MAX_GRAM_DF)
-        .join(
-            b.groupBy("g").agg(F.count(F.lit(1)).alias("dfb")).filter(F.col("dfb") <= MAX_GRAM_DF),
-            "g",
-        )
-        .select("g")
+    dims = d.select("id", "lang")
+    pairs = token_jaccard_join(
+        d.filter(F.col("id") % 2 == 0),
+        d.filter(F.col("id") % 2 == 1),
+        id_col="id", tokens_col="s",
+        min_sim=MIN_SIM, max_token_df=MAX_GRAM_DF,
     )
-    a = a.join(F.broadcast(keep), "g")
-    b = b.join(F.broadcast(keep), "g")
-    pairs = (
-        a.join(b, "g")
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
-        .join(
-            F.broadcast(dims.select(
-                F.col("id").alias("a_id"), F.col("lang").alias("a_lang"),
-                F.col("sz").alias("a_sz"))),
-            "a_id",
-        )
-        .join(
-            F.broadcast(dims.select(
-                F.col("id").alias("b_id"), F.col("lang").alias("b_lang"),
-                F.col("sz").alias("b_sz"))),
-            "b_id",
-        )
-    )
-    sim_r = F.round(
-        F.col("overlap") / (F.col("a_sz") + F.col("b_sz") - F.col("overlap")), 6
-    )
+    # per-doc lang dims re-attach post-agg via broadcast joins against the
+    # tiny doc-dim table (skinny-posting discipline, BENCH.md variant table)
     return (
-        pairs.withColumn("sim_r", sim_r)
-        .filter(F.col("sim_r") >= MIN_SIM)
+        pairs
+        .join(F.broadcast(dims.select(F.col("id").alias("a_id"), F.col("lang").alias("a_lang"))), "a_id")
+        .join(F.broadcast(dims.select(F.col("id").alias("b_id"), F.col("lang").alias("b_lang"))), "b_id")
         .select(
-            "a_id", "b_id", "overlap",
-            F.col("a_sz").cast("long").alias("a_size"),
-            F.col("b_sz").cast("long").alias("b_size"),
+            "a_id", "b_id", "overlap", "a_size", "b_size",
             "a_lang", "b_lang", "sim_r",
         )
     )

@@ -386,6 +386,162 @@ def top_k_token_join(
     return _topk("a_id", "b_id")
 
 
+def token_jaccard_join(
+    ra: DataFrame,
+    rb: DataFrame,
+    id_col: str = "id",
+    tokens_col: str = "s",
+    min_sim: float = 0.05,
+    max_token_df: int = 500,
+    dense_dict_max: int = 4096,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """Threshold Jaccard A/B join over pre-tokenized records →
+    (a_id, b_id, overlap, a_size, b_size, sim_r), with an ADAPTIVE physical
+    strategy (the A/B twin of ``dedup.shingle_jaccard_pairs``).
+
+    Semantics match the skinny-posting equi-join: candidate tokens are the
+    grams present on BOTH sides with per-side df ≤ ``max_token_df`` (the
+    two-sided df cap — the quadratic-blowup guard); Jaccard denominators
+    use the FULL distinct token-set sizes; output keeps rounded
+    sim_r ≥ ``min_sim``.
+
+    Kernel choice from one O(1)-row driver probe of the capped shared
+    dictionary size:
+
+    - **sparse** (web-scale default): xxhash64 posting keys, broadcast
+      keep-set join, token equi-join, (a_id, b_id) count agg — the
+      measured plan used by every prior round.
+    - **dense** (shared dictionary ≤ ``dense_dict_max``): a rectangular
+      block-matrix sweep (shape of ``simsearch.brute_force_topk``): each
+      (A-block, B-block) grid cell computes ALL pairwise overlaps with one
+      binary-matrix float32 matmul over a cell-local dictionary. This is
+      the regime where every shared gram is hot-but-under-cap and the
+      posting join degenerates to near-all-pairs: sum(dfa·dfb) joined rows
+      stream through two shuffles, while the matmul emits only the pairs
+      that can pass ``min_sim`` (margin prefilter in the kernel; the
+      authoritative round(·,6) ≥ min_sim filter runs in Spark expressions
+      in BOTH paths, so results — and the SQL oracle — are identical).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def prep(side_df):
+        return side_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.expr(
+                f"transform(array_distinct({tokens_col}), x -> xxhash64(x))"
+            ).alias("hs"),
+            F.size(F.array_distinct(F.col(tokens_col))).cast("int").alias("sz"),
+        )
+
+    ha, hb = prep(ra), prep(rb)
+    pa = ha.select(F.col("id").alias("a_id"), F.explode("hs").alias("g"))
+    pb = hb.select(F.col("id").alias("b_id"), F.explode("hs").alias("g"))
+    keep = (
+        pa.groupBy("g").agg(F.count(F.lit(1)).alias("dfa"))
+        .filter(F.col("dfa") <= max_token_df)
+        .join(
+            pb.groupBy("g").agg(F.count(F.lit(1)).alias("dfb"))
+            .filter(F.col("dfb") <= max_token_df),
+            "g",
+        )
+        .select("g")
+        .localCheckpoint()  # one pass feeds the dict-size probe AND both joins
+    )
+    n_kept = keep.count()
+
+    sim_of = lambda ov, asz, bsz: F.round(ov / (asz + bsz - ov), 6)  # noqa: E731
+
+    if 0 < n_kept <= dense_dict_max:
+        def side_sets(posts, h, side):
+            s = posts.join(F.broadcast(keep), "g").groupBy(f"{side}_id").agg(
+                F.sort_array(F.collect_list("g")).alias("gs")
+            )
+            return s.join(
+                h.select(F.col("id").alias(f"{side}_id"), "sz"), f"{side}_id"
+            ).localCheckpoint()  # feeds replication + block count once
+
+        sa, sb = side_sets(pa, ha, "a"), side_sets(pb, hb, "b")
+        np_blocks = lambda n: max(1, -(-n // rows_per_block))  # noqa: E731
+        qb_n, cb_n = np_blocks(sa.count()), np_blocks(sb.count())
+        a_rep = sa.withColumn("qb", F.pmod(F.xxhash64("a_id"), F.lit(qb_n))).withColumn(
+            "cb", F.explode(F.sequence(F.lit(0), F.lit(cb_n - 1)))
+        )
+        b_rep = sb.withColumn("cb", F.pmod(F.xxhash64("b_id"), F.lit(cb_n))).withColumn(
+            "qb", F.explode(F.sequence(F.lit(0), F.lit(qb_n - 1)))
+        )
+        t_eff = min_sim - 1e-6  # margin: Spark's rounded filter is authoritative
+
+        def overlap_cell(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"a_id": [], "b_id": [], "overlap": [], "a_sz": [], "b_sz": []}
+            ).astype(
+                {"a_id": "int64", "b_id": "int64", "overlap": "int64",
+                 "a_sz": "int32", "b_sz": "int32"}
+            )
+            if not len(lpdf) or not len(rpdf):
+                return empty
+            lg = [np.asarray(v, dtype=np.int64) for v in lpdf["gs"]]
+            rg = [np.asarray(v, dtype=np.int64) for v in rpdf["gs"]]
+            vocab = np.unique(np.concatenate(lg + rg))
+
+            def densify(arrs):
+                M = np.zeros((len(arrs), len(vocab)), dtype=np.float32)
+                if len(vocab):
+                    rows = np.repeat(np.arange(len(arrs)), [len(v) for v in arrs])
+                    cols = np.searchsorted(vocab, np.concatenate(arrs))
+                    M[rows, cols] = 1.0
+                return M
+
+            O = densify(lg) @ densify(rg).T  # noqa: E741 — exact 0/1 counts in f32
+            sa_ = np.asarray(lpdf["sz"], dtype=np.int64)
+            sb_ = np.asarray(rpdf["sz"], dtype=np.int64)
+            mask = (O > 0) & (
+                O * (1.0 + t_eff) >= t_eff * (sa_[:, None] + sb_[None, :]) - 1e-6
+            )
+            r, c = np.where(mask)
+            return pd.DataFrame(
+                {
+                    "a_id": np.asarray(lpdf["a_id"], dtype=np.int64)[r],
+                    "b_id": np.asarray(rpdf["b_id"], dtype=np.int64)[c],
+                    "overlap": O[r, c].astype(np.int64),
+                    "a_sz": sa_[r].astype(np.int32),
+                    "b_sz": sb_[c].astype(np.int32),
+                }
+            )
+
+        pairs = (
+            a_rep.groupBy("qb", "cb")
+            .cogroup(b_rep.groupBy("qb", "cb"))
+            .applyInPandas(
+                overlap_cell,
+                schema="a_id long, b_id long, overlap long, a_sz int, b_sz int",
+            )
+        )
+    else:
+        szs_a = ha.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"))
+        szs_b = hb.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"))
+        pairs = (
+            pa.join(F.broadcast(keep), "g")
+            .join(pb.join(F.broadcast(keep), "g"), "g")
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+            .join(szs_a, "a_id")
+            .join(szs_b, "b_id")
+        )
+    return (
+        pairs.withColumn("sim_r", sim_of(F.col("overlap"), F.col("a_sz"), F.col("b_sz")))
+        .filter(F.col("sim_r") >= min_sim)
+        .select(
+            "a_id", "b_id", "overlap",
+            F.col("a_sz").cast("long").alias("a_size"),
+            F.col("b_sz").cast("long").alias("b_size"),
+            "sim_r",
+        )
+    )
+
+
 def block_histogram(records: DataFrame, tokens_col: str = "token_set") -> DataFrame:
     """Token document-frequency histogram: (df_bucket, n_tokens, comparisons).
 

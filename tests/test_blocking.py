@@ -174,3 +174,36 @@ def test_keep_rare_df_passthrough(spark):
            for r in top_k_token_join(ra, rb, k=1, metric="jaccard",
                                      reverse=True, keep_rare_df=2).collect()}
     assert ("a1", "b9") in rev
+
+
+def test_token_jaccard_join_dense_equals_sparse(spark):
+    """token_jaccard_join's two kernels (rectangular dense block-matmul vs
+    the sparse posting equi-join) must return the IDENTICAL scored pair
+    set — two-sided df-cap, full-size Jaccard denominators, min_sim
+    filter — with the dense path forced through multiple grid cells
+    (rows_per_block=7) and a hot-on-one-side-only gram in play."""
+    from pyspark.sql import functions as F
+
+    from ertransfer_spark.operators.blocking import token_jaccard_join
+
+    rows_a, rows_b = [], []
+    for i in range(30):
+        # "hub" is hot on the A side only (df=30 > cap) — the two-sided
+        # cap must drop it even though its B-side df is tiny
+        toks = ["hub", f"tok{i % 5}", f"pair{i % 11}", f"rare{i}"]
+        rows_a.append((i, toks))
+    for j in range(25):
+        toks = ["hub" if j == 0 else f"b{j}", f"tok{j % 5}", f"pair{j % 11}"]
+        rows_b.append((1000 + j, toks))
+    ra = spark.createDataFrame(rows_a, "id long, s array<string>")
+    rb = spark.createDataFrame(rows_b, "id long, s array<string>")
+
+    kw = dict(id_col="id", tokens_col="s", min_sim=0.1, max_token_df=20)
+    dense = token_jaccard_join(ra, rb, dense_dict_max=100000, rows_per_block=7, **kw)
+    sparse = token_jaccard_join(ra, rb, dense_dict_max=0, **kw)
+    ds = sorted(tuple(r) for r in dense.collect())
+    sp = sorted(tuple(r) for r in sparse.collect())
+    assert ds == sp and len(ds) > 0
+    # "hub" never witnesses an overlap: doc 0 vs 1000 share only tok0/pair0
+    hub_pair = [r for r in ds if r[0] == 0 and r[1] == 1000]
+    assert hub_pair and hub_pair[0][2] == 2  # overlap counts kept grams only
