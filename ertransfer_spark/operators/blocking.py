@@ -465,15 +465,17 @@ def token_jaccard_join(
         sa, sb = side_sets(pa, ha, "a"), side_sets(pb, hb, "b")
         np_blocks = lambda n: max(1, -(-n // rows_per_block))  # noqa: E731
         qb_n, cb_n = np_blocks(sa.count()), np_blocks(sb.count())
-        a_rep = sa.withColumn("qb", F.pmod(F.xxhash64("a_id"), F.lit(qb_n))).withColumn(
-            "cb", F.explode(F.sequence(F.lit(0), F.lit(cb_n - 1)))
-        )
-        b_rep = sb.withColumn("cb", F.pmod(F.xxhash64("b_id"), F.lit(cb_n))).withColumn(
-            "qb", F.explode(F.sequence(F.lit(0), F.lit(qb_n - 1)))
-        )
+        a_rep = sa.select(
+            F.col("a_id").alias("rid"), "gs", "sz",
+            F.pmod(F.xxhash64("a_id"), F.lit(qb_n)).alias("qb"),
+        ).withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(cb_n - 1))))
+        b_rep = sb.select(
+            F.col("b_id").alias("rid"), "gs", "sz",
+            F.pmod(F.xxhash64("b_id"), F.lit(cb_n)).alias("cb"),
+        ).withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(qb_n - 1))))
         t_eff = min_sim - 1e-6  # margin: Spark's rounded filter is authoritative
 
-        def overlap_cell(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        def overlap_cell(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame(
                 {"a_id": [], "b_id": [], "overlap": [], "a_sz": [], "b_sz": []}
             ).astype(
@@ -503,21 +505,19 @@ def token_jaccard_join(
             r, c = np.where(mask)
             return pd.DataFrame(
                 {
-                    "a_id": np.asarray(lpdf["a_id"], dtype=np.int64)[r],
-                    "b_id": np.asarray(rpdf["b_id"], dtype=np.int64)[c],
+                    "a_id": np.asarray(lpdf["rid"], dtype=np.int64)[r],
+                    "b_id": np.asarray(rpdf["rid"], dtype=np.int64)[c],
                     "overlap": O[r, c].astype(np.int64),
                     "a_sz": sa_[r].astype(np.int32),
                     "b_sz": sb_[c].astype(np.int32),
                 }
             )
 
-        pairs = (
-            a_rep.groupBy("qb", "cb")
-            .cogroup(b_rep.groupBy("qb", "cb"))
-            .applyInPandas(
-                overlap_cell,
-                schema="a_id long, b_id long, overlap long, a_sz int, b_sz int",
-            )
+        from ertransfer_spark.operators.gridsweep import grid_cogroup
+
+        pairs = grid_cogroup(
+            a_rep, b_rep, ("qb", "cb"), overlap_cell,
+            schema="a_id long, b_id long, overlap long, a_sz int, b_sz int",
         )
     else:
         szs_a = ha.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"))
@@ -655,18 +655,24 @@ def minhash_lsh_join(
         cand = cand.filter(F.col("a_id") < F.col("b_id"))
     cand = cand.distinct()
 
-    ta = records_a.select(F.col(id_col).alias("a_id"), F.col(tokens_col).alias("a_toks"))
-    tb = records_b.select(F.col(id_col).alias("b_id"), F.col(tokens_col).alias("b_toks"))
+    # verify ships xxhash64(token) long arrays instead of the token strings
+    # (~3× smaller join rows, long-vs-string intersect) — sim is a COUNT
+    # ratio, so values are identical (64-bit in-doc collision P ≈ n²/2⁶⁵,
+    # the same accepted risk as the posting-key hashing elsewhere); the
+    # intersection is computed ONCE per row, not once per use
+    ht = lambda c: F.transform(F.col(c), lambda t: F.xxhash64(t))  # noqa: E731
+    ta = records_a.select(F.col(id_col).alias("a_id"), ht(tokens_col).alias("a_toks"))
+    tb = records_b.select(F.col(id_col).alias("b_id"), ht(tokens_col).alias("b_toks"))
     verified = (
         cand.join(ta, "a_id")
         .join(tb, "b_id")
         .withColumn(
+            "_inter", F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
+        )
+        .withColumn(
             "sim",
-            F.size(F.array_intersect("a_toks", "b_toks"))
-            / (
-                F.size("a_toks") + F.size("b_toks")
-                - F.size(F.array_intersect("a_toks", "b_toks"))
-            ).cast("double"),
+            F.col("_inter")
+            / (F.size("a_toks") + F.size("b_toks") - F.col("_inter")),
         )
         .filter(F.col("sim") >= min_jaccard)
         .select("a_id", "b_id", "sim")

@@ -229,13 +229,11 @@ def shingle_jaccard_pairs(
                 }
             )
 
-        pairs = (
-            left.groupBy("bi", "bj")
-            .cogroup(right.groupBy("bi", "bj"))
-            .applyInPandas(
-                overlap_cell,
-                schema="a_id long, b_id long, overlap long, a_sz int, b_sz int",
-            )
+        from ertransfer_spark.operators.gridsweep import grid_cogroup
+
+        pairs = grid_cogroup(
+            left, right, ("bi", "bj"), overlap_cell,
+            schema="a_id long, b_id long, overlap long, a_sz int, b_sz int",
         )
         return (
             pairs.withColumn("sim_r", sim_of(F.col("overlap"), F.col("a_sz"), F.col("b_sz")))

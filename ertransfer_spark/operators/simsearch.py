@@ -103,15 +103,15 @@ def brute_force_topk(
     pc = _n_blocks(corpus, rows_per_block)
 
     q = queries.select(
-        F.col(id_col).cast("long").alias("qid"), _as_double(vec_col).alias("v")
-    ).withColumn("qb", F.pmod(F.xxhash64("qid"), F.lit(pq)))
+        F.col(id_col).cast("long").alias("rid"), _as_double(vec_col).alias("v")
+    ).withColumn("qb", F.pmod(F.xxhash64("rid"), F.lit(pq)))
     c = corpus.select(
-        F.col(id_col).cast("long").alias("cid"), _as_double(vec_col).alias("v")
-    ).withColumn("cb", F.pmod(F.xxhash64("cid"), F.lit(pc)))
+        F.col(id_col).cast("long").alias("rid"), _as_double(vec_col).alias("v")
+    ).withColumn("cb", F.pmod(F.xxhash64("rid"), F.lit(pc)))
     q_rep = q.withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(pc - 1))))
     c_rep = c.withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(pq - 1))))
 
-    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def score_cell(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if not len(left) or not len(right):
             return pd.DataFrame({"query_id": [], "nbr_id": [], "sim": []}).astype(
                 {"query_id": "int64", "nbr_id": "int64", "sim": "float64"}
@@ -119,8 +119,8 @@ def brute_force_topk(
         Qn = _normalized(np.stack(left["v"].to_numpy()).astype(np.float64))
         Mn = _normalized(np.stack(right["v"].to_numpy()).astype(np.float64))
         S = Mn @ Qn.T  # (corpus_rows, query_rows)
-        qids = np.asarray(left["qid"], dtype=np.int64)
-        nbr = np.asarray(right["cid"], dtype=np.int64)
+        qids = np.asarray(left["rid"], dtype=np.int64)
+        nbr = np.asarray(right["rid"], dtype=np.int64)
         kk = min(k + 1 if exclude_self else k, len(nbr))  # +1: self-match removed after scoring
         if len(nbr) > kk:
             kth = np.partition(S, -kk, axis=0)[-kk, :]
@@ -132,12 +132,12 @@ def brute_force_topk(
         )
         return out[out["query_id"] != out["nbr_id"]] if exclude_self else out
 
-    scored = (
-        q_rep.groupBy("qb", "cb")
-        .cogroup(c_rep.groupBy("qb", "cb"))
-        .applyInPandas(score_cell, schema="query_id long, nbr_id long, sim double")
-        .select("query_id", "nbr_id", F.round("sim", round_dp).alias("sim_r"))
-    )
+    from ertransfer_spark.operators.gridsweep import grid_cogroup
+
+    scored = grid_cogroup(
+        q_rep, c_rep, ("qb", "cb"), score_cell,
+        schema="query_id long, nbr_id long, sim double",
+    ).select("query_id", "nbr_id", F.round("sim", round_dp).alias("sim_r"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.asc("nbr_id"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))
@@ -216,10 +216,11 @@ def cosine_neardup_pairs(
             }
         )
 
-    scored = (
-        left.groupBy("bi", "bj")
-        .cogroup(right.groupBy("bi", "bj"))
-        .applyInPandas(score_cell, schema="a_id long, b_id long, sim double")
+    from ertransfer_spark.operators.gridsweep import grid_cogroup
+
+    scored = grid_cogroup(
+        left, right, ("bi", "bj"), score_cell,
+        schema="a_id long, b_id long, sim double",
     )
     return scored.select(
         "a_id", "b_id", F.round("sim", round_dp).alias("sim_r")
