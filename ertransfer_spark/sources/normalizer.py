@@ -192,3 +192,59 @@ def column_intersection(a: DataFrame, b: DataFrame, keep: tuple = ("id",)) -> tu
     from side A."""
     common = [c for c in a.columns if c in set(b.columns) or c in keep]
     return a.select(*common), b.select(*[c for c in common if c in b.columns])
+
+
+TRANSCRIPT_TURN_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp_ntz"
+)
+
+
+def read_jsonl_transcripts(
+    spark: SparkSession,
+    path: str,
+    strict: bool = False,
+) -> DataFrame:
+    """JSONL transcript scan → the canonical turn relation
+    (conv_id, turn_idx, role, text, tool, ts) of the input_hint.
+
+    JSON-Lines is the de-facto interchange format for LLM conversation
+    corpora, so the engine accepts it natively alongside CSV/parquet.
+    Scale discipline:
+
+    - the schema is EXPLICIT (``TRANSCRIPT_TURN_SCHEMA``) — schema
+      inference would add a full extra pass over the data before the real
+      scan, prohibitive at 100 TB;
+    - ``ts`` is ``timestamp_ntz`` (ISO-8601 wall-clock, no session-TZ
+      dependence — the same TZ-proof contract as the parquet events
+      table);
+    - malformed lines follow the CSV path's S1 contract: PERMISSIVE with
+      a ``_corrupt`` capture column, excluded from the returned relation
+      (``strict=True`` switches to FAILFAST so the scan raises on the
+      first bad line instead);
+    - rows missing ``conv_id`` or ``turn_idx`` are unusable for ordered
+      turn aggregation and are dropped with the corrupt lines;
+    - ``text`` is ''-normalized (the astype(str)+fillna contract,
+      splitters/KNN-Join/splitter.py:28-33).
+    """
+    df = spark.read.json(
+        path,
+        schema=TRANSCRIPT_TURN_SCHEMA + ", _corrupt string",
+        mode="FAILFAST" if strict else "PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    return (
+        df.filter(
+            F.col("_corrupt").isNull()
+            & F.col("conv_id").isNotNull()
+            & F.col("turn_idx").isNotNull()
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "tool",
+            "ts",
+        )
+    )

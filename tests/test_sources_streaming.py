@@ -42,6 +42,42 @@ def test_csv_missing_id_raises(spark, tmp_path):
         read_csv_normalized(spark, str(p))
 
 
+def test_read_jsonl_transcripts(spark, tmp_path):
+    """JSONL turn source: explicit schema, corrupt/unusable-line exclusion,
+    ''-normalized text, TZ-proof ts, and the output canonicalizes."""
+    from ertransfer_spark.operators.canonicalize import canonicalize
+    from ertransfer_spark.sources.normalizer import read_jsonl_transcripts
+
+    lines = [
+        json.dumps({"conv_id": "c1", "turn_idx": 0, "role": "user",
+                    "text": "hello there", "tool": None,
+                    "ts": "2026-04-21T12:40:56"}),
+        json.dumps({"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+                    "text": None, "tool": "search",
+                    "ts": "2026-04-21T12:41:26"}),
+        json.dumps({"conv_id": "c2", "turn_idx": 0, "role": "user",
+                    "text": "bye"}),                      # missing tool/ts: fine
+        json.dumps({"role": "user", "text": "orphan"}),   # no conv_id/turn_idx: dropped
+        '{"conv_id": "c3", "turn_idx": 0, "text": "unterminated',  # malformed: dropped
+    ]
+    p = tmp_path / "turns.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+
+    df = read_jsonl_transcripts(spark, str(p))
+    assert df.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in df.collect()}
+    assert set(rows) == {("c1", 0), ("c1", 1), ("c2", 0)}
+    assert rows[("c1", 1)]["text"] == ""  # null text → '' contract
+    assert rows[("c1", 0)]["ts"].isoformat() == "2026-04-21T12:40:56"
+    assert canonicalize(df).count() == 2  # feeds ordered turn aggregation
+
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Py4JJavaError):
+        read_jsonl_transcripts(spark, str(p), strict=True).collect()
+
+
 def test_column_intersection(spark):
     from ertransfer_spark.sources.normalizer import column_intersection
 
