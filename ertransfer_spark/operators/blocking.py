@@ -522,9 +522,16 @@ def token_jaccard_join(
     else:
         szs_a = ha.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"))
         szs_b = hb.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"))
+        # the keep-set is NOT force-broadcast here: in the sparse regime
+        # the shared under-cap dictionary is O(distinct grams) — unbounded
+        # at web scale (billions of grams at 10^12 turns would OOM a
+        # forced broadcast). AQE broadcasts it dynamically whenever it is
+        # actually small; otherwise it stays a shuffled join on g, which
+        # the posting join needs anyway. (The dense branch's broadcasts
+        # are safe by construction: keep ≤ dense_dict_max rows there.)
         pairs = (
-            pa.join(F.broadcast(keep), "g")
-            .join(pb.join(F.broadcast(keep), "g"), "g")
+            pa.join(keep, "g")
+            .join(pb.join(keep, "g"), "g")
             .groupBy("a_id", "b_id")
             .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
             .join(szs_a, "a_id")
