@@ -110,3 +110,57 @@ def test_negative_sampling_marginals(spark, spark_corpora):
     # hash-bias toward a fixed subset would zero-out the rest
     assert len(freq) >= int(0.8 * n_a)
     assert max(freq.values()) <= 6 * 3
+
+
+def test_adaptive_kernels_randomized_parity(spark):
+    """Multi-seed randomized dense-vs-sparse parity for BOTH adaptive
+    operators (`blocking.token_jaccard_join`, `dedup.shingle_jaccard_pairs`).
+
+    The hand-built parity tests pin one corpus each; this sweep drives the
+    two kernels over seeded random corpora whose small integer set sizes
+    land many pairs EXACTLY on round(J,6)-threshold grid points (J = 1/8,
+    1/5, 1/3, ...), the regime where the dense kernel's float32 margin
+    prefilter could in principle diverge from the sparse path's exact
+    integer agg. Asserts bit-identical (a_id, b_id, sim_r) sets at every
+    seed, with multiple grid cells forced (rows_per_block=7)."""
+    import random
+
+    from ertransfer_spark.operators.blocking import token_jaccard_join
+    from ertransfer_spark.operators.dedup import shingle_jaccard_pairs
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        vocab = [f"t{v}" for v in range(40)]
+
+        def corpus(n, id0):
+            rows = []
+            for i in range(n):
+                sz = rng.randint(2, 8)
+                rows.append((id0 + i, sorted(rng.sample(vocab, sz))))
+            return rows
+
+        ra = spark.createDataFrame(corpus(35, 0), "id long, s array<string>")
+        rb = spark.createDataFrame(corpus(30, 1000), "id long, s array<string>")
+        for t in (0.125, 0.2, 1 / 3):
+            kw = dict(id_col="id", tokens_col="s", min_sim=t, max_token_df=12)
+            dense = token_jaccard_join(
+                ra, rb, dense_dict_max=100000, rows_per_block=7, **kw
+            )
+            sparse = token_jaccard_join(ra, rb, dense_dict_max=0, **kw)
+            ds = sorted(tuple(r) for r in dense.collect())
+            sp = sorted(tuple(r) for r in sparse.collect())
+            assert ds == sp, f"token_jaccard_join mismatch seed={seed} t={t}"
+
+        d = ra.unionByName(rb).selectExpr("id", "s", "size(s) as sz")
+        for t in (0.125, 0.2, 1 / 3):
+            kw = dict(
+                gram_col="s", id_col="id", sz_col="sz",
+                threshold=t, max_gram_df=12,
+            )
+            dense = shingle_jaccard_pairs(
+                d, dense_dict_max=100000, rows_per_block=7, **kw
+            )
+            sparse = shingle_jaccard_pairs(d, dense_dict_max=0, **kw)
+            ds = sorted(tuple(r) for r in dense.collect())
+            sp = sorted(tuple(r) for r in sparse.collect())
+            assert ds == sp, f"shingle_jaccard_pairs mismatch seed={seed} t={t}"
