@@ -67,6 +67,11 @@ ALLOW = {
 
 
 def audit_one(name: str, df) -> dict:
+    # Execute the query's own queryExecution first (cheap at sf0.001):
+    # AQE-wrapped plans show neither codegen ids nor the runtime-chosen
+    # join strategies until isFinalPlan=true, and the FINAL plan is the
+    # one worth auditing.
+    df.collect()
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
@@ -91,7 +96,9 @@ def audit_one(name: str, df) -> dict:
     if "BatchEvalPython" in plan:
         failures.append("BatchEvalPython (row-at-a-time Python UDF)")
 
-    codegen = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+    # formatted mode annotates nodes with "[codegen id : N]" — distinct ids
+    # = number of WholeStageCodegen spans
+    codegen = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
     arrow = sorted(
         set(
             re.findall(
