@@ -118,15 +118,26 @@ def qgrams(col: Column | str, q: int = 3, multiset: bool = False) -> Column:
     (splitters/KNN-Join/splitter.py:72-78, settings.py:2-11). Set semantics
     unless ``multiset``. Pure Column expr — sequence + substr transform —
     so it codegens; no UDF.
+
+    The normalized string is LET-BOUND via a 1-element-array transform:
+    Catalyst has no common-subexpression elimination inside lambda bodies,
+    so referencing ``normalize(col)`` directly from the per-gram lambda
+    would re-run the regexp normalization once PER GRAM (O(len²) per row —
+    measured ~10× wall on prose columns). Binding it to a lambda variable
+    evaluates it exactly once per row; output values are identical.
     """
-    s = normalize(col)
-    n = F.length(s)
-    grams = F.when(n < q, F.when(n > 0, F.array(s)).otherwise(F.array().cast("array<string>"))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(q - 1)),
-            lambda i: s.substr(i, F.lit(q)),
+    def body(s: Column) -> Column:
+        n = F.length(s)
+        return F.when(
+            n < q, F.when(n > 0, F.array(s)).otherwise(F.array().cast("array<string>"))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(q - 1)),
+                lambda i: s.substr(i, F.lit(q)),
+            )
         )
-    )
+
+    grams = F.transform(F.array(normalize(col)), body)[0]
     return grams if multiset else F.array_distinct(grams)
 
 
@@ -161,10 +172,20 @@ def word_shingles(text_col: str, n: int = 2) -> Column:
     The standard MinHash shingling unit: for corpora with small
     vocabularies (agent transcripts, log-like text) unigram token sets are
     near-identical across documents, so blocking/dedup tokens must be
-    shingles to stay selective."""
+    shingles to stay selective.
+
+    The tokenize expression is LET-BOUND (``transform(array(toks), ts ->
+    shingles)[0]``) instead of textually substituted into the shingle
+    template: the template references ``{ts}`` five times, two of them
+    inside the per-shingle lambda, and Catalyst performs no common-
+    subexpression elimination across lambda boundaries — direct
+    substitution re-runs the full split/filter tokenization ~2·n_tokens
+    times per row (measured 2× the whole stage at sf0.1). Values are
+    identical; the bound form evaluates tokenization once per row."""
     toks = SPARK_TOKENS_SQL.format(col=text_col)
     tpl = {2: SPARK_BIGRAMS_SQL, 3: SPARK_TRIGRAMS_SQL}[n]
-    return F.expr(tpl.format(ts=toks))
+    body = tpl.format(ts="ts")
+    return F.expr(f"transform(array({toks}), ts -> {body})[0]")
 
 
 def serialize_pair(a: Column | str, b: Column | str, sep: str = " [SEP] ") -> Column:

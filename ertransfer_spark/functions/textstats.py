@@ -146,14 +146,20 @@ def doc_fingerprint(text_col: str) -> Column:
     norm_sql = (
         f"trim(regexp_replace(lower(coalesce({text_col}, '')), '[^a-z0-9]+', ' '))"
     )
+    # LET-BIND the normalized string (1-element-array transform): Catalyst
+    # does no CSE inside lambda bodies, so substituting {norm_sql} into the
+    # fold re-runs the regex normalization once PER CHARACTER (O(len²)/row).
+    # Values identical; normalization evaluates once per row.
     expr = f"""
-      case when length({norm_sql}) = 0 then 7L else
-        aggregate(
-          sequence(1, length({norm_sql})),
-          7L,
-          (h, i) -> (h * 31 + ascii(substring({norm_sql}, i, 1))) % {_HASH_MOD}L
-        )
-      end
+      transform(array({norm_sql}), s ->
+        case when length(s) = 0 then 7L else
+          aggregate(
+            sequence(1, length(s)),
+            7L,
+            (h, i) -> (h * 31 + ascii(substring(s, i, 1))) % {_HASH_MOD}L
+          )
+        end
+      )[0]
     """
     return F.expr(expr)
 

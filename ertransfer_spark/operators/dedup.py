@@ -463,15 +463,22 @@ def minhash_portable_duckdb_sql(
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash32) — portable SimHash over distinct tokens."""
     th = _token_hash_expr("t")
+    # LET-BIND the per-token hash array: `hs` is referenced once textually,
+    # so CollapseProject inlines the transform into the 32-iteration outer
+    # fold — re-hashing every token 32× per row (measured 13× the stage).
+    # Binding it to a lambda variable evaluates it once; values unchanged
+    # (this operator is oracle-checked bit-for-bit).
     expr = f"""
-      aggregate(
-        sequence(0, 31),
-        0L,
-        (acc, b) -> acc + (case when
-            aggregate(hs, 0L,
-              (s, h) -> s + ((h div cast(pow(2, b) as long)) % 2) * 2 - 1
-            ) > 0 then cast(pow(2, b) as long) else 0L end)
-      )
+      transform(array(hs), hsv ->
+        aggregate(
+          sequence(0, 31),
+          0L,
+          (acc, b) -> acc + (case when
+              aggregate(hsv, 0L,
+                (s, h) -> s + ((h div cast(pow(2, b) as long)) % 2) * 2 - 1
+              ) > 0 then cast(pow(2, b) as long) else 0L end)
+        )
+      )[0]
     """
     return (
         docs.select(
