@@ -35,18 +35,32 @@ def lang_id(text_col: Column | str) -> Column:
 
     Ties resolve in LANG_ORDER (en > de > fr > es) — pinned so any engine
     reproduces the same labels.
+
+    Both the token array and the per-language hit counts are LET-BOUND
+    (1-element-array transform): the when-fold references each hit count
+    ~2^k times and each count re-tokenizes, so the direct form re-ran the
+    split/filter tokenization dozens of times per row (no lambda-body CSE
+    in Catalyst). Values identical — same fold, same tie order.
     """
-    toks = tokens(text_col)
-    hits = [(_marker_hits(toks, LANG_MARKERS[lang]), lang) for lang in LANG_ORDER]
-    # left-to-right fold with strict ">": the earliest language in
-    # LANG_ORDER wins ties (same fold as lang_id_duckdb).
-    best = F.lit("und")
-    best_n = F.lit(0)
-    for h, lang in hits:
-        cond = h > best_n
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_n = F.when(cond, h).otherwise(best_n)
-    return best
+    def fold(hs: Column) -> Column:
+        # left-to-right fold with strict ">": the earliest language in
+        # LANG_ORDER wins ties (same fold as lang_id_duckdb). hs[i] is a
+        # cheap ref into the bound hit-count array.
+        best = F.lit("und")
+        best_n = F.lit(0)
+        for i, lang in enumerate(LANG_ORDER):
+            cond = hs[i] > best_n
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_n = F.when(cond, hs[i]).otherwise(best_n)
+        return best
+
+    def hits(ts: Column) -> Column:
+        return F.array(*[_marker_hits(ts, LANG_MARKERS[lang]) for lang in LANG_ORDER])
+
+    return F.transform(
+        F.array(tokens(text_col)),
+        lambda ts: F.transform(F.array(hits(ts)), fold)[0],
+    )[0]
 
 
 def lang_id_duckdb(col: str) -> str:
