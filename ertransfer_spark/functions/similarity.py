@@ -31,25 +31,35 @@ def _overlap(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)).cast("double")
 
 
-def jaccard(a: Column, b: Column) -> Column:
-    o = _overlap(a, b)
+# Each metric accepts an optional pre-computed ``overlap`` column: emitting
+# several metrics over the same token arrays in ONE projection would
+# otherwise evaluate array_intersect once per metric (Catalyst/codegen does
+# not CSE them away across output columns — measured 3x in
+# scripts/exp_features_cse.py). featurize() materializes the overlap in a
+# prior projection and passes it in; values are identical either way.
+
+def jaccard(a: Column, b: Column, overlap: Column | None = None) -> Column:
+    o = _overlap(a, b) if overlap is None else overlap
     denom = F.size(a) + F.size(b) - o
     return F.when(denom > 0, o / denom).otherwise(F.lit(0.0))
 
 
-def dice(a: Column, b: Column) -> Column:
+def dice(a: Column, b: Column, overlap: Column | None = None) -> Column:
+    o = _overlap(a, b) if overlap is None else overlap
     denom = (F.size(a) + F.size(b)).cast("double")
-    return F.when(denom > 0, F.lit(2.0) * _overlap(a, b) / denom).otherwise(F.lit(0.0))
+    return F.when(denom > 0, F.lit(2.0) * o / denom).otherwise(F.lit(0.0))
 
 
-def cosine_sets(a: Column, b: Column) -> Column:
+def cosine_sets(a: Column, b: Column, overlap: Column | None = None) -> Column:
+    o = _overlap(a, b) if overlap is None else overlap
     denom = F.sqrt(F.size(a).cast("double") * F.size(b).cast("double"))
-    return F.when(denom > 0, _overlap(a, b) / denom).otherwise(F.lit(0.0))
+    return F.when(denom > 0, o / denom).otherwise(F.lit(0.0))
 
 
-def overlap_coefficient(a: Column, b: Column) -> Column:
+def overlap_coefficient(a: Column, b: Column, overlap: Column | None = None) -> Column:
+    o = _overlap(a, b) if overlap is None else overlap
     denom = F.least(F.size(a), F.size(b)).cast("double")
-    return F.when(denom > 0, _overlap(a, b) / denom).otherwise(F.lit(0.0))
+    return F.when(denom > 0, o / denom).otherwise(F.lit(0.0))
 
 
 SET_METRICS = {
@@ -196,6 +206,29 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([fn(x, y) for x, y in zip(av, bv)], index=a.index)
 
 
+@F.pandas_udf(DoubleType())
+def levenshtein_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """``levenshtein_sim`` computed by the batch-vectorized Myers kernel
+    (functions/myers.py) — value-IDENTICAL to the JVM expression
+    ``levenshtein_sim(a, b)`` (exact integer distance over codepoints, same
+    IEEE754 division; parity pinned in tests) at ~3.5-7x the per-core
+    throughput for the 256-char-truncated matcher feature. Callers truncate
+    BEFORE the UDF (featurize ships substring(1, 256)), same as the JVM
+    path."""
+    import numpy as np
+
+    from ertransfer_spark.functions.myers import myers_lev_batch
+
+    av = a.fillna("")
+    bv = b.fillna("")
+    d = myers_lev_batch(av.tolist(), bv.tolist())
+    la = np.fromiter((len(x) for x in av), dtype=np.int64, count=len(av))
+    lb = np.fromiter((len(x) for x in bv), dtype=np.int64, count=len(bv))
+    ml = np.maximum(la, lb)
+    sim = np.where(ml > 0, 1.0 - d / np.maximum(ml, 1).astype(np.float64), 1.0)
+    return pd.Series(sim, index=a.index)
+
+
 # --------------------------------------------------------------------------
 # Pair feature vector — the matcher's input (Magellan-feature analog, F7)
 # --------------------------------------------------------------------------
@@ -281,23 +314,31 @@ def features_native(
     a_tokens: Column,
     b_tokens: Column,
     lengths: tuple[Column, Column] | None = None,
+    overlap: Column | None = None,
 ) -> list[Column]:
     """The same features as pure Column expressions where Spark has JVM
-    builtins — preferred in the hot path (levenshtein, set sims); only
-    jaro_winkler needs the pandas UDF.
+    builtins — preferred in the hot path (set sims); levenshtein_sim runs
+    through the exact batch-vectorized Myers kernel (value-identical to
+    the JVM expression, ~4x per-core — functions/myers.py) and
+    jaro_winkler through its pandas UDF; both UDFs share one
+    ArrowEvalPython node, so the batch crosses to Python once.
 
     ``lengths``: the ORIGINAL (untruncated) agValue lengths when the norm
     columns were shipped truncated (attach_pair_text truncate=...);
     len_ratio then reads them so the feature stays value-identical to the
-    full-text path."""
+    full-text path.
+
+    ``overlap``: pre-computed ``size(array_intersect(a_tokens, b_tokens))``
+    as double — pass it (featurize does) to evaluate the intersection once
+    instead of once per set metric."""
     len_a = lengths[0] if lengths else F.length(a_norm)
     len_b = lengths[1] if lengths else F.length(b_norm)
     return [
-        jaccard(a_tokens, b_tokens).alias("jaccard_tokens"),
-        dice(a_tokens, b_tokens).alias("dice_tokens"),
-        cosine_sets(a_tokens, b_tokens).alias("cosine_tokens"),
-        overlap_coefficient(a_tokens, b_tokens).alias("overlap_tokens"),
-        levenshtein_sim(F.substring(a_norm, 1, 256), F.substring(b_norm, 1, 256)).alias("levenshtein_sim"),
+        jaccard(a_tokens, b_tokens, overlap).alias("jaccard_tokens"),
+        dice(a_tokens, b_tokens, overlap).alias("dice_tokens"),
+        cosine_sets(a_tokens, b_tokens, overlap).alias("cosine_tokens"),
+        overlap_coefficient(a_tokens, b_tokens, overlap).alias("overlap_tokens"),
+        levenshtein_sim_udf(F.substring(a_norm, 1, 256), F.substring(b_norm, 1, 256)).alias("levenshtein_sim"),
         jaro_winkler_udf(F.substring(a_norm, 1, 64), F.substring(b_norm, 1, 64)).alias("jaro_winkler"),
         (
             F.least(len_a, len_b)
