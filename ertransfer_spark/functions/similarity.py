@@ -248,9 +248,16 @@ FEATURE_NAMES = [
 def _pair_features_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     import numpy as np
 
+    from ertransfer_spark.functions.myers import myers_lev_batch
+
     jw_fn = _RF_JW or jaro_winkler
+    av = a.fillna("")
+    bv = b.fillna("")
+    # one vectorized Myers pass for the whole batch (identical values to
+    # the per-row _levenshtein_capped DP, which remains the spec/reference)
+    levs = myers_lev_batch([x[:256] for x in av], [y[:256] for y in bv])
     out = []
-    for x, y in zip(a.fillna(""), b.fillna("")):
+    for i, (x, y) in enumerate(zip(av, bv)):
         tx, ty = set(x.split()), set(y.split())
         o = float(len(tx & ty))
         u = float(len(tx | ty))
@@ -262,7 +269,7 @@ def _pair_features_batch(a: pd.Series, b: pd.Series) -> pd.Series:
         lx, ly = len(x), len(y)
         ml = max(lx, ly)
         if ml:
-            lev = 1.0 - _levenshtein_capped(x, y, cap=256) / float(max(min(lx, 256), min(ly, 256), 1))
+            lev = 1.0 - int(levs[i]) / float(max(min(lx, 256), min(ly, 256), 1))
         else:
             lev = 1.0
         jw = jw_fn(x[:64], y[:64])
