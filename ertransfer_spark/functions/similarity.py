@@ -200,10 +200,32 @@ _RF_JW = _rapidfuzz_jw()
 
 @F.pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler. Rows where both sides are <=64 chars —
+    all of them in the featurize hot path, which ships substring(1, 64) —
+    go through the batch-vectorized bit-parallel kernel
+    (functions/jaro.py, value-identical to the pure-Python spec,
+    parity-pinned); longer rows fall back to the scalar spec (or
+    rapidfuzz when present and probe-identical)."""
+    import numpy as np
+
+    from ertransfer_spark.functions.jaro import jaro_winkler_batch
+
     av = a.fillna("")
     bv = b.fillna("")
-    fn = _RF_JW or jaro_winkler
-    return pd.Series([fn(x, y) for x, y in zip(av, bv)], index=a.index)
+    la = np.fromiter((len(x) for x in av), dtype=np.int64, count=len(av))
+    lb = np.fromiter((len(x) for x in bv), dtype=np.int64, count=len(bv))
+    short = (la <= 64) & (lb <= 64)
+    out = np.empty(len(av), dtype=np.float64)
+    if short.any():
+        idx = np.nonzero(short)[0]
+        out[idx] = jaro_winkler_batch(
+            [av.iat[i] for i in idx], [bv.iat[i] for i in idx]
+        )
+    if not short.all():
+        fn = _RF_JW or jaro_winkler
+        for i in np.nonzero(~short)[0]:
+            out[i] = fn(av.iat[i], bv.iat[i])
+    return pd.Series(out, index=a.index)
 
 
 @F.pandas_udf(DoubleType())

@@ -68,6 +68,54 @@ def test_myers_chunking_invariant():
     assert (whole == chunked).all()
 
 
+def test_jaro_winkler_batch_matches_scalar_spec():
+    """jaro_winkler_batch == the pinned pure-Python jaro_winkler exactly,
+    including the rapidfuzz probe set and the boost-threshold boundary."""
+    from ertransfer_spark.functions.jaro import jaro_winkler_batch
+    from ertransfer_spark.functions.similarity import jaro_winkler
+
+    rng = random.Random(17)
+
+    def rand_s(n, alpha="abcdef "):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    A, B = [], []
+    for _ in range(2000):
+        A.append(rand_s(rng.randint(0, 64)))
+        B.append(rand_s(rng.randint(0, 64)))
+    for _ in range(200):
+        A.append(rand_s(rng.randint(0, 64), alpha="aàé日🎉b "))
+        B.append(rand_s(rng.randint(0, 64), alpha="aàé日🎉b "))
+    A += ["", "", "x", "martha", "dwayne", "dixon", "abcdef", "ab",
+          "prefix match long", "martha", "abcdxxxx"]
+    B += ["", "y", "", "marhta", "duane", "dicksonx", "abcdef", "ba",
+          "prefix match lung", "massey", "abyyzzzz"]
+    got = jaro_winkler_batch(A, B)
+    for i, (a, b) in enumerate(zip(A, B)):
+        assert got[i] == jaro_winkler(a, b), (i, a, b)
+
+
+def test_jaro_winkler_udf_long_rows_fall_back(spark):
+    """Mixed batches with >64-char rows route those rows to the scalar
+    spec; all rows must equal the pure-Python value."""
+    from ertransfer_spark.functions.similarity import jaro_winkler, jaro_winkler_udf
+
+    rows = [
+        (0, "short one", "short two"),
+        (1, "x" * 100, "x" * 99 + "y"),
+        (2, None, "abc"),
+        (3, "a" * 64, "a" * 63 + "b"),
+        (4, "pneumonoultramicroscopicsilicovolcanoconiosis" * 3, "pneumono"),
+    ]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    got = {
+        r["id"]: r["jw"]
+        for r in df.select("id", jaro_winkler_udf("a", "b").alias("jw")).collect()
+    }
+    for i, a, b in rows:
+        assert got[i] == jaro_winkler(a or "", b or ""), (i,)
+
+
 @pytest.mark.usefixtures("spark")
 def test_udf_matches_jvm_expression(spark):
     """levenshtein_sim_udf == JVM levenshtein_sim exactly (same codepoint
