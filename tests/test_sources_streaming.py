@@ -154,7 +154,7 @@ def test_stream_matches_batch_canonicalization(spark, tmp_path):
     catalog = SnapshotCatalog(spark, str(tmp_path / "cat"))
     stream = canonicalize_stream(read_turn_stream(spark, str(src)))
     q = stream_to_catalog(stream, catalog, checkpoint_dir=str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(900), 'stream drain timed out (box under load)'
 
     got = catalog.read("stream_records_batch_00000").select("conv_id", "agValue").toPandas()
     want = canonicalize(to_spark(spark, ta)).select("conv_id", "agValue").toPandas()
@@ -181,7 +181,7 @@ def _drain_dedup(spark, src, catalog, ckpt, min_jaccard=0.3):
         min_jaccard=min_jaccard,
         checkpoint_dir=str(ckpt),
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(900), 'stream drain timed out (box under load)'
 
 
 def _all_dup_pairs(catalog, n_batches):
@@ -371,7 +371,7 @@ def test_stateful_canonicalize_cross_batch(spark, tmp_path):
         watermark="1 minutes",
         gap_seconds=60,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(900), 'stream drain timed out (box under load)'
 
     got = {
         r["conv_id"]: (r["agValue"], r["n_turns"])
@@ -426,7 +426,7 @@ def test_stateful_canonicalize_survives_restart(spark, tmp_path):
             watermark="1 minutes",
             gap_seconds=60,
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(900), 'stream drain timed out (box under load)'
 
     _write_batch(src, "b1.json", ta[ta["turn_idx"] % 2 == 0].reset_index(drop=True))
     drain()  # run 1: half of every conversation, then the query STOPS
@@ -517,7 +517,7 @@ def test_stateful_canonicalize_non_utc_session_timezone(spark, tmp_path):
             watermark="1 minutes",
             gap_seconds=60,
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(900), 'stream drain timed out (box under load)'
         got = {
             r["conv_id"]: (r["agValue"], r["n_turns"])
             for r in catalog.read("stream_canonical").collect()
@@ -584,7 +584,7 @@ def test_stateful_canonicalize_dedups_retransmitted_turns(spark, tmp_path):
         watermark="1 minutes",
         gap_seconds=60,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(900), 'stream drain timed out (box under load)'
     got = {
         r["conv_id"]: (r["agValue"], r["n_turns"])
         for r in catalog.read("stream_canonical").collect()
