@@ -454,24 +454,29 @@ def token_jaccard_join(
     sim_of = lambda ov, asz, bsz: F.round(ov / (asz + bsz - ov), 6)  # noqa: E731
 
     if 0 < n_kept <= dense_dict_max:
-        def side_sets(posts, h, side):
-            s = posts.join(F.broadcast(keep), "g").groupBy(f"{side}_id").agg(
-                F.sort_array(F.collect_list("g")).alias("gs")
-            )
-            return s.join(
-                h.select(F.col("id").alias(f"{side}_id"), "sz"), f"{side}_id"
-            ).localCheckpoint()  # feeds replication + block count once
+        # The keep dictionary is ≤ dense_dict_max rows BY BRANCH CONDITION,
+        # so it collects to an O(dict) driver array (like IVF centroids) and
+        # the kernel restricts each cell-local vocab to it. That lets the
+        # grid feed straight off the prepped (id, hs, sz) rows — the old
+        # explode → keep-join → collect_list → re-join-prep round trip spent
+        # two ~5 s jobs per side at sf0.1 rebuilding arrays prep already had
+        # (BENCH.md 2026-08-21 decomposition).
+        keep_arr = np.sort(np.asarray([r["g"] for r in keep.collect()], dtype=np.int64))
 
-        sa, sb = side_sets(pa, ha, "a"), side_sets(pb, hb, "b")
-        np_blocks = lambda n: max(1, -(-n // rows_per_block))  # noqa: E731
-        qb_n, cb_n = np_blocks(sa.count()), np_blocks(sb.count())
+        from ertransfer_spark.operators.gridsweep import grid_blocks
+
+        sa = ha.select("id", F.sort_array("hs").alias("gs"), "sz").localCheckpoint()
+        sb = hb.select("id", F.sort_array("hs").alias("gs"), "sz").localCheckpoint()
+        par = ra.sparkSession.sparkContext.defaultParallelism
+        qb_n = grid_blocks(sa.count(), rows_per_block, par)
+        cb_n = grid_blocks(sb.count(), rows_per_block, par)
         a_rep = sa.select(
-            F.col("a_id").alias("rid"), "gs", "sz",
-            F.pmod(F.xxhash64("a_id"), F.lit(qb_n)).alias("qb"),
+            F.col("id").alias("rid"), "gs", "sz",
+            F.pmod(F.xxhash64("id"), F.lit(qb_n)).alias("qb"),
         ).withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(cb_n - 1))))
         b_rep = sb.select(
-            F.col("b_id").alias("rid"), "gs", "sz",
-            F.pmod(F.xxhash64("b_id"), F.lit(cb_n)).alias("cb"),
+            F.col("id").alias("rid"), "gs", "sz",
+            F.pmod(F.xxhash64("id"), F.lit(cb_n)).alias("cb"),
         ).withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(qb_n - 1))))
         t_eff = min_sim - 1e-6  # margin: Spark's rounded filter is authoritative
 
@@ -486,14 +491,23 @@ def token_jaccard_join(
                 return empty
             lg = [np.asarray(v, dtype=np.int64) for v in lpdf["gs"]]
             rg = [np.asarray(v, dtype=np.int64) for v in rpdf["gs"]]
-            vocab = np.unique(np.concatenate(lg + rg))
+            # gs arrives UNFILTERED; only keep-dictionary grams may witness
+            # an overlap (the two-sided df cap), so the cell vocab is the
+            # intersection — identical semantics to the old posting-side
+            # keep-join, applied O(cell) instead of O(corpus).
+            vocab = np.intersect1d(
+                np.unique(np.concatenate(lg + rg)), keep_arr, assume_unique=True
+            )
 
             def densify(arrs):
                 M = np.zeros((len(arrs), len(vocab)), dtype=np.float32)
                 if len(vocab):
                     rows = np.repeat(np.arange(len(arrs)), [len(v) for v in arrs])
-                    cols = np.searchsorted(vocab, np.concatenate(arrs))
-                    M[rows, cols] = 1.0
+                    vals = np.concatenate(arrs)
+                    cols = np.searchsorted(vocab, vals)
+                    ok = cols < len(vocab)
+                    ok[ok] = vocab[cols[ok]] == vals[ok]
+                    M[rows[ok], cols[ok]] = 1.0
                 return M
 
             O = densify(lg) @ densify(rg).T  # noqa: E741 — exact 0/1 counts in f32

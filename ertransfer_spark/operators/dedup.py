@@ -164,14 +164,26 @@ def shingle_jaccard_pairs(
     sim_of = lambda ov, asz, bsz: F.round(ov / (asz + bsz - ov), 6)  # noqa: E731
 
     if 0 < n_kept <= dense_dict_max:
-        kept = posts.join(F.broadcast(hot), "g", "left_anti")
-        sets = kept.groupBy("id").agg(F.sort_array(F.collect_list("g")).alias("gs"))
-        sets = sets.join(h.select("id", "sz"), "id")
-        # materialized once: feeds BOTH cogroup sides (otherwise the
-        # collect_list agg runs twice) and supplies the block count
+        # The kept dictionary is ≤ dense_dict_max rows by branch condition →
+        # O(dict) driver collect (like IVF centroids); the kernel restricts
+        # each cell-local vocab to it, so the grid feeds straight off the
+        # prepped (id, hs, sz) rows instead of the explode → anti-join →
+        # collect_list round trip (two corpus passes saved; BENCH.md
+        # 2026-08-21 decomposition).
+        keep_arr = np.sort(np.asarray(
+            [r["g"] for r in dfreq.filter(F.col("df") <= max_gram_df).select("g").collect()],
+            dtype=np.int64,
+        ))
+        sets = h.select("id", F.sort_array("hs").alias("gs"), "sz")
+        # materialized once: feeds BOTH cogroup sides and the block count
         sets = sets.localCheckpoint()
+        from ertransfer_spark.operators.gridsweep import grid_blocks
+
         n_docs = sets.count()
-        p = max(1, -(-n_docs // rows_per_block))
+        p = grid_blocks(
+            n_docs, rows_per_block,
+            docs.sparkSession.sparkContext.defaultParallelism, triangular=True,
+        )
         v = sets.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(p)))
         left = v.select(
             F.col("blk").alias("bi"),
@@ -196,14 +208,24 @@ def shingle_jaccard_pairs(
                 return empty
             lg = [np.asarray(a, dtype=np.int64) for a in lpdf["gs"]]
             rg = [np.asarray(a, dtype=np.int64) for a in rpdf["gs"]]
-            vocab = np.unique(np.concatenate(lg + rg)) if (lg or rg) else np.array([], dtype=np.int64)
+            # gs arrives UNFILTERED; only under-cap grams may witness an
+            # overlap, so the cell vocab is intersected with the kept
+            # dictionary — identical semantics to the old posting-side
+            # anti-join, applied O(cell) instead of O(corpus).
+            vocab = np.intersect1d(
+                np.unique(np.concatenate(lg + rg)) if (lg or rg) else np.array([], dtype=np.int64),
+                keep_arr, assume_unique=True,
+            )
 
             def densify(arrs):
                 M = np.zeros((len(arrs), len(vocab)), dtype=np.float32)
                 if len(vocab):
                     rows = np.repeat(np.arange(len(arrs)), [len(a) for a in arrs])
-                    cols = np.searchsorted(vocab, np.concatenate(arrs) if arrs else np.array([], dtype=np.int64))
-                    M[rows, cols] = 1.0
+                    vals = np.concatenate(arrs) if arrs else np.array([], dtype=np.int64)
+                    cols = np.searchsorted(vocab, vals)
+                    ok = cols < len(vocab)
+                    ok[ok] = vocab[cols[ok]] == vals[ok]
+                    M[rows[ok], cols[ok]] = 1.0
                 return M
 
             O = densify(lg) @ densify(rg).T  # noqa: E741 — overlap counts, exact in f32

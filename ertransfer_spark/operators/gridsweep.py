@@ -34,6 +34,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def grid_blocks(
+    n_rows: int,
+    rows_per_block: int,
+    parallelism: int,
+    triangular: bool = False,
+    min_rows: int = 64,
+) -> int:
+    """Per-side block count for a block-matrix sweep: the max of the MEMORY
+    bound (``ceil(n/rows_per_block)`` keeps any one cell's dense matrices
+    bounded — the binding constraint at web scale) and the PARALLELISM
+    bound (enough grid cells to occupy ``parallelism`` cores — the binding
+    constraint at bench scale, where a sub-4096-row side otherwise
+    collapses the whole sweep into ONE applyInPandas task: measured 20 s
+    single-task scored-pairs at sf0.1/local[32], BENCH.md 2026-08-21).
+
+    Rectangular grids get ``ceil(sqrt(P))`` per side (cells = qb·cb ≥ P);
+    triangular self-grids get the p with p(p+1)/2 ≥ P. Blocks never shrink
+    below ``min_rows`` rows — per-cell vocab/densify overhead dominates
+    under that. The block count only changes the PHYSICAL grid; the emitted
+    pair set is identical for any value (pinned by the dense-vs-sparse
+    parity tests and the sf0.01 oracles)."""
+    import math
+
+    by_mem = -(-n_rows // rows_per_block)
+    if triangular:
+        want = math.ceil((math.sqrt(8 * parallelism + 1) - 1) / 2)
+    else:
+        want = math.ceil(math.sqrt(parallelism))
+    by_par = min(want, max(1, n_rows // min_rows))
+    return max(1, by_mem, by_par)
+
+
 def grid_cogroup(
     left: DataFrame,
     right: DataFrame,
