@@ -59,8 +59,18 @@ def _normalized(M):
     return (M / scale[:, None]) * (norm > 0)[:, None]
 
 
-def _n_blocks(df: DataFrame, rows_per_block: int) -> int:
-    return max(1, -(-df.count() // rows_per_block))
+def _n_blocks(df: DataFrame, rows_per_block: int, triangular: bool = False) -> int:
+    # parallelism-aware: a sub-4096-row side must not collapse the sweep
+    # into one applyInPandas task (see gridsweep.grid_blocks). The block
+    # count only changes the physical grid, never the emitted rows — the
+    # per-cell top-k prefilter is exact for ANY cell partitioning (a row
+    # dominated by k cell-mates is dominated globally).
+    from ertransfer_spark.operators.gridsweep import grid_blocks
+
+    return grid_blocks(
+        df.count(), rows_per_block,
+        df.sparkSession.sparkContext.defaultParallelism, triangular=triangular,
+    )
 
 
 def brute_force_topk(
@@ -173,7 +183,7 @@ def cosine_neardup_pairs(
     import pandas as pd
 
     eps = 10.0 ** (-round_dp)
-    p = _n_blocks(vectors, rows_per_block)
+    p = _n_blocks(vectors, rows_per_block, triangular=True)
 
     v = vectors.select(
         F.col(id_col).cast("long").alias("vid"), _as_double(vec_col).alias("v")
