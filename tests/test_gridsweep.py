@@ -99,3 +99,23 @@ def test_migrated_sweeps_survive_count_action(spark, docs):
     near = cosine_neardup_pairs(vecs, id_col="conv_id", vec_col="embedding",
                                 threshold=0.2, rows_per_block=2)
     assert near.count() == len(near.collect())
+
+
+def test_grid_blocks_bounds():
+    """grid_blocks = max(memory bound, parallelism bound), triangular-aware,
+    never splitting below ~64-row blocks (r5 final: a sub-4096-row side must
+    not collapse a sweep into one applyInPandas task)."""
+    from ertransfer_spark.operators.gridsweep import grid_blocks
+
+    # memory bound dominates at scale: 1M rows / 4096 per block
+    assert grid_blocks(1_000_000, 4096, 32) == 245
+    # parallelism bound dominates at bench scale: 32-way session wants
+    # ceil(sqrt(32)) = 6 per rectangular side (36 cells >= 32)
+    assert grid_blocks(2500, 4096, 32) == 6
+    # triangular grids need p(p+1)/2 >= P -> p = 8 for P = 32
+    assert grid_blocks(5000, 4096, 32, triangular=True) == 8
+    # tiny inputs never split below ~64-row blocks
+    assert grid_blocks(100, 4096, 32) == 1
+    assert grid_blocks(0, 4096, 32) == 1
+    # single-core session keeps a single block when memory allows
+    assert grid_blocks(2500, 4096, 1) == 1
